@@ -1,0 +1,36 @@
+"""ICET-TPU: a TPU-native LiDAR odometry + HD-mapping framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of mcdermatt/ICET
+(Iterative Closest Ellipsoidal Transform): distribution-to-distribution
+point-cloud registration with spherical shadow-mitigation voxels, per-voxel
+and global ambiguity suppression, and closed-form predicted solution error
+covariance — plus the odometry, HD-map accumulation, dataset replay, and
+robustness-filter layers that sit around the solver.
+"""
+
+from icet_tpu.config import ICETConfig, MapConfig, OdometryConfig, PROFILES
+from icet_tpu.solver import (
+    RegistrationResult,
+    VoxelModel,
+    prepare_reference,
+    prepare_reference_jit,
+    register,
+    register_jit,
+    register_pair,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "ICETConfig",
+    "MapConfig",
+    "OdometryConfig",
+    "PROFILES",
+    "RegistrationResult",
+    "VoxelModel",
+    "prepare_reference",
+    "prepare_reference_jit",
+    "register",
+    "register_jit",
+    "register_pair",
+]

@@ -1,0 +1,162 @@
+"""Configuration for the ICET-TPU registration engine.
+
+The reference (mcdermatt/ICET) has no config system: every knob is a hard-coded
+constant scattered across C++ and Python, with commented-out alternates as the
+de-facto configuration mechanism (see reference src/icet.h:31-34,
+src/simpleMapMaker.cpp:64-66, python/ICET_spherical.py:27-38).  This module
+centralises all of them as frozen (hashable) dataclasses so they can be passed
+as static arguments to jitted functions.
+
+Canonical default values follow the C++ runtime configuration used for the
+published 35 ms baseline (reference src/odometry.cpp:73-76 and
+src/simpleMapMaker.cpp:113-118): 75 azimuth x 24 elevation voxels, 25 min
+points per voxel, cluster gap thresh 0.1 m, bounds buffer 0.1 m, 7 iterations.
+
+Where the reference's C++ and Python disagree, the choice and the discrepancy
+are documented on the field.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+@dataclasses.dataclass(frozen=True)
+class ICETConfig:
+    """Static configuration for one registration solve.
+
+    Instances are hashable and are meant to be passed as `static_argnums`
+    arguments to jitted entry points; changing any field triggers a recompile.
+    """
+
+    # ---- spherical voxel grid ------------------------------------------------
+    #: number of azimuthal bins over [0, 2*pi)  (reference: 75)
+    n_theta: int = 75
+    #: number of elevation bins over [phi_min, phi_max]  (reference: 24)
+    n_phi: int = 24
+    #: elevation band.  The C++ reference bins the full sphere [0, pi]
+    #: (src/icet.cpp:138-139); the Python reference restricts to
+    #: [3*pi/8, 7*pi/8] (python/ICET_spherical.py:101-102).  Full sphere is the
+    #: default; sensor profiles may restrict the band.
+    phi_min: float = 0.0
+    phi_max: float = math.pi
+
+    # ---- radial clustering (shadow-mitigation voxels) -----------------------
+    #: minimum points for a radial run to count as a cluster, and for a voxel
+    #: to participate in the solve (reference n=25, src/odometry.cpp:75)
+    min_pts: int = 25
+    #: max radial gap between consecutive sorted points within one cluster
+    #: (reference thresh=0.1, src/icet.cpp:557-607)
+    cluster_gap: float = 0.1
+    #: radial padding added on both sides of the detected cluster
+    #: (reference buff=0.1, src/icet.cpp:579-580)
+    cluster_buffer: float = 0.1
+
+    # ---- point / voxel validity gates ---------------------------------------
+    #: drop points closer than this to the sensor (reference: 0.2 m for
+    #: mapping, simpleMapMaker.cpp:98-110; 2.0 m for odometry, odometry.cpp:58)
+    min_range: float = 0.2
+    #: voxels whose outer cluster bound is below this are suppressed
+    #: (reference uses 0.1 in fitCells1 at icet.cpp:158 and 1.0 in fitCells2 at
+    #: icet.cpp:290; we use one gate)
+    min_outer_range: float = 0.1
+
+    # ---- solver -------------------------------------------------------------
+    #: number of Gauss-Newton iterations (reference runlen: 7 odometry /
+    #: 12 mapping)
+    n_iters: int = 7
+    #: scale (in sigma) for the extended-surface endpoint test.  C++ uses 2.0
+    #: (icet.cpp:191), Python uses 3.0 (ICET_spherical.py:541).  Default 2.0.
+    sigma_scale: float = 2.0
+    #: condition-number cutoff for global axis pruning.  C++ uses 1e6
+    #: (icet.cpp:453), Python 1e7 (ICET_spherical.py:783).  Default 1e6.
+    condition_cutoff: float = 1e6
+    #: relative eigenvalue floor used in pseudo-inverses
+    pinv_rcond: float = 1e-7
+
+    # ---- moving-object rejection (reference ICET_spherical.py:175-285) ------
+    remove_moving: bool = False
+    #: first iteration at which rejection runs (reference start_RM_iter=4)
+    rm_start_iter: int = 4
+    #: compact-residual cutoff in metres (reference RM_thresh=0.3)
+    rm_residual_thresh: float = 0.3
+    #: per-voxel covariance-yaw change cutoff in radians (reference 0.1,
+    #: ICET_spherical.py:267)
+    rm_yaw_thresh: float = 0.1
+
+    # ---- DNN perspective-shift filter (reference ICET_spherical.py:288-390) -
+    dnn_filter: bool = False
+    #: first iteration at which the DNN filter runs (reference
+    #: start_filter_iter=7)
+    dnn_start_iter: int = 7
+    #: ICET-vs-DNN disagreement cutoff (reference DNN_thresh=0.05)
+    dnn_thresh: float = 0.05
+    #: points sampled per scan per voxel for the DNN input (reference 100)
+    dnn_sample_pts: int = 100
+
+    # ---- implementation knobs (no reference equivalent) ---------------------
+    #: moment accumulation strategy: "segsum" (XLA scatter-add segment_sum),
+    #: "onehot" (blocked one-hot matmul riding the MXU), or "auto"
+    moment_method: str = "auto"
+    #: point-block size for the "onehot" accumulator
+    moment_block: int = 1024
+
+    @property
+    def n_voxels(self) -> int:
+        return self.n_theta * self.n_phi
+
+    def replace(self, **kw) -> "ICETConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class OdometryConfig:
+    """Frame-loop configuration (reference src/odometry.cpp:22-212)."""
+
+    #: warm-start each solve with the previous solution
+    #: (reference odometry.cpp:82)
+    warm_start: bool = True
+    #: zero the transform if any component exceeds this (divergence guard,
+    #: reference simpleMapMaker.cpp:129-137)
+    divergence_clamp: float = 0.3
+    #: assumed sensor rate, used for twist scaling
+    #: (reference odometry.cpp:134-140)
+    sensor_hz: float = 10.0
+
+
+@dataclasses.dataclass(frozen=True)
+class MapConfig:
+    """HD-map accumulator configuration (reference src/simpleMapMaker.cpp)."""
+
+    #: fixed map capacity in points (reference EigenQueue 600k,
+    #: simpleMapMaker.cpp:62)
+    capacity: int = 600_000
+    #: points retained per scan on insert (reference 2000,
+    #: simpleMapMaker.cpp:150-160)
+    points_per_scan: int = 2_000
+
+
+# Canonical sensor / application profiles, replacing the reference's
+# commented-out alternates.
+PROFILES = {
+    # 64-channel outdoor lidar, mapping node defaults
+    # (simpleMapMaker.cpp:113-119)
+    "mapping": ICETConfig(n_iters=12, min_range=0.2),
+    # odometry node defaults (odometry.cpp:58,73-76)
+    "odometry": ICETConfig(n_iters=7, min_range=2.0),
+    # Python-notebook configuration (fid=50) used by the bundled sample clouds
+    # (python/ICET_demo.ipynb, grid at ICET_spherical.py:1206-1234)
+    "notebook": ICETConfig(
+        n_theta=50,
+        n_phi=15,
+        phi_min=3 * math.pi / 8,
+        phi_max=7 * math.pi / 8,
+        n_iters=5,
+        cluster_gap=0.5,
+        cluster_buffer=0.1,
+        min_range=0.2,
+        sigma_scale=3.0,
+        condition_cutoff=1e7,
+    ),
+}

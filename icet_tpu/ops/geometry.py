@@ -1,0 +1,157 @@
+"""Pure-jnp geometry kernels: coordinate conversions, Euler rotations, and the
+measurement Jacobian.
+
+Canonical conventions (this framework picks ONE semantics; the reference's C++
+and Python variants disagree — see below):
+
+* Spherical coordinates ``(r, theta, phi)``: ``r = |p|``,
+  ``theta = atan2(y, x)`` wrapped to ``[0, 2*pi)`` (reference
+  src/utils.cpp:100-109), ``phi = acos(z / r) in [0, pi]`` measured from +z.
+* Euler rotation ``R(phi, theta, psi)``: body-xyz convention matching
+  reference src/utils.cpp:144-152 / python/utils.py:288-308.
+* Scan-2 transform: ``p' = R(-angs) @ p + t`` (column-vector form of the
+  Python reference's ``matmul(cloud, R_tf(-X[3:]).T) + t``,
+  ICET_spherical.py:158).  The C++ reference instead uses
+  ``p' = (p + t) @ R(angs)`` (icet.cpp:375-378); the two agree to first order
+  but differ at large angles.  We standardise on the Python form because the
+  published sample-cloud outputs were produced with it.
+* Measurement Jacobian ``H = [-I | (dR/da_k) @ mu]`` per voxel
+  (reference icet.cpp:494-532, python/utils.py:310-342).  The rotation
+  derivative blocks are obtained with ``jax.jacfwd`` of :func:`euler_R`
+  rather than hand-typed formulas; they agree with the reference's analytic
+  matrices exactly.
+
+Everything here is shape-polymorphic pure jnp, safe under jit/vmap/shard_map.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+TWO_PI = 2.0 * jnp.pi
+
+
+def cart_to_spherical(pts: jax.Array) -> jax.Array:
+    """Convert cartesian points ``(..., 3)`` to spherical ``(r, theta, phi)``.
+
+    theta is wrapped to [0, 2*pi).  Degenerate points (r == 0) and NaNs map to
+    (0, 0, 0) so that downstream range gates (r < min_range) drop them, which
+    replaces the reference's NaN->1000.0 scrub (src/utils.cpp:116).
+    """
+    pts = jnp.nan_to_num(pts, nan=0.0, posinf=0.0, neginf=0.0)
+    x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+    r = jnp.sqrt(x * x + y * y + z * z)
+    theta = jnp.arctan2(y, x)
+    theta = jnp.where(theta < 0.0, theta + TWO_PI, theta)
+    safe_r = jnp.where(r > 0.0, r, 1.0)
+    phi = jnp.arccos(jnp.clip(z / safe_r, -1.0, 1.0))
+    theta = jnp.where(r > 0.0, theta, 0.0)
+    phi = jnp.where(r > 0.0, phi, 0.0)
+    return jnp.stack([r, theta, phi], axis=-1)
+
+
+def spherical_to_cart(rtp: jax.Array) -> jax.Array:
+    """Convert spherical ``(r, theta, phi)`` points ``(..., 3)`` to cartesian.
+
+    Matches reference src/utils.cpp:121-142: x = r sin(phi) cos(theta),
+    y = r sin(phi) sin(theta), z = r cos(phi).
+    """
+    r, theta, phi = rtp[..., 0], rtp[..., 1], rtp[..., 2]
+    sp = jnp.sin(phi)
+    return jnp.stack(
+        [r * sp * jnp.cos(theta), r * sp * jnp.sin(theta), r * jnp.cos(phi)],
+        axis=-1,
+    )
+
+
+def euler_R(angs: jax.Array) -> jax.Array:
+    """Body-xyz Euler rotation matrix (reference src/utils.cpp:144-152).
+
+    ``angs = (phi, theta, psi)`` = rotations about (x, y, z).  Supports an
+    optional leading batch dimension: ``(3,) -> (3, 3)``,
+    ``(..., 3) -> (..., 3, 3)``.
+    """
+    phi, theta, psi = angs[..., 0], angs[..., 1], angs[..., 2]
+    cf, sf = jnp.cos(phi), jnp.sin(phi)
+    ct, st = jnp.cos(theta), jnp.sin(theta)
+    cp, sp = jnp.cos(psi), jnp.sin(psi)
+    row0 = jnp.stack([ct * cp, sp * cf + sf * st * cp, sf * sp - st * cf * cp], -1)
+    row1 = jnp.stack([-sp * ct, cf * cp - sf * st * sp, sf * cp + st * sp * cf], -1)
+    row2 = jnp.stack([st, -sf * ct, cf * ct], -1)
+    return jnp.stack([row0, row1, row2], axis=-2)
+
+
+def rotation_jacobian(angs: jax.Array) -> jax.Array:
+    """``dR/d(angs)`` with shape (3, 3, 3): ``out[..., k] = dR/d(angs[k])``.
+
+    Computed by forward-mode autodiff of :func:`euler_R`; numerically equal to
+    the hand-derived Jx/Jy/Jz blocks in reference icet.cpp:508-529.
+    """
+    return jax.jacfwd(euler_R)(angs)
+
+
+def transform_points(pts: jax.Array, X: jax.Array) -> jax.Array:
+    """Apply the 6-DOF state ``X = [t; angs]`` to points ``(..., 3)``.
+
+    Canonical scan-2 transform ``p' = R(-angs) p + t`` (see module docstring;
+    reference ICET_spherical.py:155-158).
+    """
+    rot = euler_R(-X[3:6])
+    return pts @ rot.T + X[:3]
+
+
+def measurement_jacobian(mu: jax.Array, angs: jax.Array) -> jax.Array:
+    """Per-voxel measurement Jacobian ``H``: ``(V, 3) -> (V, 3, 6)``.
+
+    ``H = [-I_3 | J_phi@mu | J_theta@mu | J_psi@mu]`` evaluated at the current
+    angles with the current (already-transformed) voxel means, exactly as the
+    reference does (icet.cpp:323-329, ICET_spherical.py:424-425).  This is an
+    approximate Gauss-Newton Jacobian; only the fixed point (zero weighted
+    residual) matters, and that is set by :func:`transform_points`.
+    """
+    dR = rotation_jacobian(angs)  # (3, 3, 3), [..., k] = dR/da_k
+    # rot_block[v, :, k] = (dR/da_k) @ mu[v]
+    rot_block = jnp.einsum("ijk,vj->vik", dR, mu)
+    eye = -jnp.eye(3, dtype=mu.dtype)
+    eye = jnp.broadcast_to(eye, (mu.shape[0], 3, 3))
+    return jnp.concatenate([eye, rot_block], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Pose (SE(3)) helpers for odometry / mapping accumulation.
+# The reference accumulates 4x4 homogeneous matrices (simpleMapMaker.cpp:
+# 167-172, odometry.cpp:93-98); we keep the same representation.
+# ---------------------------------------------------------------------------
+
+
+def pose_matrix(X: jax.Array) -> jax.Array:
+    """4x4 homogeneous matrix of the canonical transform ``p' = R(-angs)p+t``."""
+    rot = euler_R(-X[3:6])
+    top = jnp.concatenate([rot, X[:3][:, None]], axis=1)
+    bottom = jnp.array([[0.0, 0.0, 0.0, 1.0]], dtype=X.dtype)
+    return jnp.concatenate([top, bottom], axis=0)
+
+
+def compose_pose(T_world: jax.Array, X: jax.Array) -> jax.Array:
+    """Accumulate a frame-to-frame solution into a world pose.
+
+    ``T_new = T_world @ pose_matrix(X)`` (reference odometry.cpp:93-98).
+    """
+    return T_world @ pose_matrix(X)
+
+
+def rotmat_to_euler(rot: jax.Array) -> jax.Array:
+    """Invert :func:`euler_R` (reference python/utils.py:273-286).
+
+    Returns ``(phi, theta, psi)`` such that ``euler_R(out) ~ rot`` for
+    rotations away from the theta = +-pi/2 gimbal singularity.
+    """
+    r_sum = jnp.sqrt(
+        (rot[..., 0, 0] ** 2 + rot[..., 0, 1] ** 2 + rot[..., 1, 2] ** 2 + rot[..., 2, 2] ** 2)
+        / 2.0
+    )
+    phi = jnp.arctan2(-rot[..., 1, 2], rot[..., 2, 2])
+    theta = jnp.arctan2(rot[..., 0, 2], r_sum)
+    psi = jnp.arctan2(-rot[..., 0, 1], rot[..., 0, 0])
+    return jnp.stack([phi, theta, psi], axis=-1)

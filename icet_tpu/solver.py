@@ -1,0 +1,346 @@
+"""The ICET registration solver — one jitted XLA program per registration.
+
+Pipeline (reference call stack: ICET::ICET -> fitScan1 -> prepScan2 ->
+runlen x fitScan2, src/icet.cpp:29-63; Python ICET.main_2,
+python/ICET_spherical.py:89-487):
+
+1. :func:`prepare_reference` voxelises scan 1 once: spherical binning,
+   per-spike radial clustering, exact full-point Gaussian moments, batched
+   3x3 eigendecomposition, and the extended-surface (sigma endpoint) test
+   producing the per-voxel eigenbasis ``U`` and axis-suppression mask ``l``.
+2. :func:`register` runs ``n_iters`` Gauss-Newton iterations as a
+   ``lax.scan``: transform scan 2, rebin (sort-free), accumulate moments,
+   assemble the weighted normal equations with per-voxel noise weighting and
+   axis suppression, globally prune ill-conditioned solution components, and
+   update the 6-DOF state.
+
+Everything is dense ``[V]``-shaped with masks; there is no data-dependent
+control flow, so the whole solve compiles to a single device program — this
+is the <= 1 ms/scan path.
+
+Semantics notes (documented deviations from the reference):
+
+* Projection basis: we use ``P = diag(l) U^T`` (coordinates in the voxel's
+  eigenbasis, then mask extended axes) as the Python reference does
+  (ICET_spherical.py:434-441).  The C++ reference applies the transpose
+  basis (icet.cpp:317-329: its ``U`` member holds eigenvectors-as-rows and it
+  then uses ``U.transpose()``), which rotates INTO the eigenbasis incorrectly;
+  the Python form is the mathematically meaningful one.
+* Noise weighting divides by the per-voxel CLUSTER point counts
+  (ICET_spherical.py:431-432); the C++ divides by the whole angular-bin
+  counts (icet.cpp:315), which under-weights voxels whose spike contains
+  outliers outside the cluster.
+* pred_stds inflation for globally pruned axes adds ``|U2 row|`` rather than
+  the raw signed row the C++ adds (icet.cpp:479, acknowledged hack).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from icet_tpu.config import ICETConfig
+from icet_tpu.ops.clustering import membership, radial_cluster_bounds
+from icet_tpu.ops.geometry import (
+    cart_to_spherical,
+    euler_R,
+    measurement_jacobian,
+    transform_points,
+)
+from icet_tpu.ops.grid import voxel_anchors, voxel_ids
+from icet_tpu.ops.linalg import eigh_small, psd_pinv
+from icet_tpu.ops.moments import voxel_moments
+
+
+class VoxelModel(NamedTuple):
+    """Dense per-voxel reference model fitted to scan 1 (all tables V+1)."""
+
+    bounds: jax.Array  # (V+1, 2) radial cluster bounds
+    anchors: jax.Array  # (V+1, 3) cartesian anchors
+    count: jax.Array  # (V+1,)
+    mean: jax.Array  # (V+1, 3)
+    cov: jax.Array  # (V+1, 3, 3)
+    basis: jax.Array  # (V+1, 3, 3) eigenvectors as COLUMNS (ascending eigval)
+    lmask: jax.Array  # (V+1, 3) per-eigenaxis keep mask (0 = extended axis)
+    valid: jax.Array  # (V+1,) voxel participates in the solve
+
+
+class IterationDiag(NamedTuple):
+    """Per-iteration diagnostics (stacked over iterations by lax.scan)."""
+
+    n_corr: jax.Array
+    condition: jax.Array
+    dx_norm: jax.Array
+    n_dropped_axes: jax.Array
+    n_rejected_moving: jax.Array
+
+
+class RegistrationResult(NamedTuple):
+    X: jax.Array  # (6,) solved state [t_xyz, phi, theta, psi]
+    pred_stds: jax.Array  # (6,) predicted per-component solution std
+    Q: jax.Array  # (6, 6) predicted solution error covariance
+    diagnostics: IterationDiag
+    static_mask: jax.Array  # (N2,) scan-2 points in non-moving, used voxels
+
+
+# ---------------------------------------------------------------------------
+# Scan-1 preparation
+# ---------------------------------------------------------------------------
+
+
+def _sigma_axis_mask(model_mean, eigvals, basis, bounds, valid, cfg: ICETConfig):
+    """Extended-surface suppression via sigma endpoint test.
+
+    Places endpoints ``mu +- s * sqrt(lam_k) u_k`` for each principal axis and
+    keeps the axis iff at least one endpoint falls inside the voxel frustum
+    (reference icet.cpp:186-233 / ICET_spherical.py:522-585: an axis is pruned
+    only when BOTH endpoints leave the cell).  Pure arithmetic on the bounds —
+    no point search.
+    """
+    scale = cfg.sigma_scale
+    sq = jnp.sqrt(jnp.maximum(eigvals, 0.0))  # (V+1, 3)
+    # offsets[v, :, k] = s * sqrt(lam_k) * u_k
+    offsets = scale * sq[:, None, :] * basis  # (V+1, 3, 3)
+    endpoints = jnp.stack(
+        [model_mean[:, :, None] + offsets, model_mean[:, :, None] - offsets], axis=0
+    )  # (2, V+1, 3(coord), 3(axis))
+    ep = jnp.moveaxis(endpoints, 2, 3)  # (2, V+1, 3(axis), 3(coord))
+    rtp = cart_to_spherical(ep)
+    ep_vid = voxel_ids(rtp, cfg)  # (2, V+1, 3)
+    own_vid = jnp.arange(model_mean.shape[0], dtype=jnp.int32)[None, :, None]
+    b = bounds[None, :, None, :]
+    inside = (
+        (ep_vid == own_vid)
+        & (rtp[..., 0] >= b[..., 0])
+        & (rtp[..., 0] <= b[..., 1])
+    )
+    keep = inside[0] | inside[1]  # (V+1, 3) either endpoint inside
+    return jnp.where(valid[:, None], keep.astype(model_mean.dtype), 0.0)
+
+
+def prepare_reference(scan1: jax.Array, cfg: ICETConfig) -> VoxelModel:
+    """Fit the dense voxel model to the keyframe scan (reference fitScan1,
+    src/icet.cpp:68-252)."""
+    rtp = cart_to_spherical(scan1)
+    r = rtp[..., 0]
+    valid_pt = r >= cfg.min_range
+    vid = voxel_ids(rtp, cfg)
+
+    clusters = radial_cluster_bounds(
+        vid,
+        r,
+        valid_pt,
+        cfg.n_voxels,
+        cfg.min_pts,
+        cfg.cluster_gap,
+        cfg.cluster_buffer,
+    )
+    anchors = voxel_anchors(clusters.bounds, cfg)
+    member = membership(vid, r, valid_pt, clusters.bounds, cfg.n_voxels)
+    moments = voxel_moments(
+        scan1,
+        vid,
+        member,
+        anchors,
+        cfg.n_voxels,
+        method=_moment_method(cfg),
+        block=cfg.moment_block,
+    )
+
+    valid = (
+        clusters.found
+        & (moments.count >= cfg.min_pts)
+        & (clusters.bounds[:, 1] > cfg.min_outer_range)
+    )
+
+    eigvals, basis = eigh_small(moments.cov)
+    lmask = _sigma_axis_mask(
+        moments.mean, eigvals, basis, clusters.bounds, valid, cfg
+    )
+
+    return VoxelModel(
+        bounds=clusters.bounds,
+        anchors=anchors,
+        count=moments.count,
+        mean=moments.mean,
+        cov=moments.cov,
+        basis=basis,
+        lmask=lmask,
+        valid=valid,
+    )
+
+
+def _moment_method(cfg: ICETConfig) -> str:
+    if cfg.moment_method == "auto":
+        # Default after on-chip benchmarking; see bench.py history.
+        return "onehot"
+    return cfg.moment_method
+
+
+# ---------------------------------------------------------------------------
+# Per-iteration Gauss-Newton update
+# ---------------------------------------------------------------------------
+
+
+def _covariance_yaw(cov: jax.Array) -> jax.Array:
+    """Reference moving-object heuristic: treat the covariance's first row as
+    a direction and take its yaw, ``atan2(-cov[0,1], cov[0,0])``
+    (ICET_spherical.py:254-272 via utils.R2Euler's psi component)."""
+    return jnp.arctan2(-cov[..., 0, 1], cov[..., 0, 0])
+
+
+def _iteration(model: VoxelModel, scan2: jax.Array, X, it, cfg: ICETConfig):
+    p2 = transform_points(scan2, X)
+    rtp2 = cart_to_spherical(p2)
+    r2 = rtp2[..., 0]
+    valid_pt2 = r2 >= cfg.min_range
+    vid2 = voxel_ids(rtp2, cfg)
+    member2 = membership(vid2, r2, valid_pt2, model.bounds, cfg.n_voxels)
+    m2 = voxel_moments(
+        p2,
+        vid2,
+        member2,
+        model.anchors,
+        cfg.n_voxels,
+        method=_moment_method(cfg),
+        block=cfg.moment_block,
+    )
+
+    corr = model.valid & (m2.count >= cfg.min_pts)
+
+    # P = diag(l) U^T: compact (eigenbasis, extended-axis-masked) projector.
+    P = model.lmask[:, :, None] * jnp.swapaxes(model.basis, -1, -2)
+    residual = m2.mean - model.mean  # (V+1, 3)
+    res_compact = jnp.einsum("vij,vj->vi", P, residual)
+
+    # Moving-object rejection (reference ICET_spherical.py:175-285).
+    n_rejected = jnp.zeros((), jnp.int32)
+    if cfg.remove_moving:
+        bad_res = jnp.any(
+            jnp.abs(res_compact) > cfg.rm_residual_thresh, axis=-1
+        )
+        yaw_delta = jnp.abs(
+            _covariance_yaw(model.cov) - _covariance_yaw(m2.cov)
+        )
+        bad_yaw = yaw_delta > cfg.rm_yaw_thresh
+        active = it >= cfg.rm_start_iter
+        bad = corr & (bad_res | bad_yaw) & active
+        n_rejected = jnp.sum(bad.astype(jnp.int32))
+        corr = corr & ~bad
+
+    cm = corr.astype(scan2.dtype)
+
+    # Per-voxel noise covariance of the residual-of-means, projected and
+    # inverted to get the weighting (reference icet.cpp:314-321,
+    # ICET_spherical.py:431-437).
+    n1 = jnp.maximum(model.count - 1.0, 1.0)
+    n2 = jnp.maximum(m2.count - 1.0, 1.0)
+    R_noise = model.cov / n1[:, None, None] + m2.cov / n2[:, None, None]
+    R_proj = P @ R_noise @ jnp.swapaxes(P, -1, -2)
+    W = psd_pinv(R_proj, rcond=cfg.pinv_rcond)
+
+    H = measurement_jacobian(m2.mean, X[3:6])  # (V+1, 3, 6)
+    Hz = P @ H
+
+    HTWH = jnp.einsum("v,vai,vab,vbj->ij", cm, Hz, W, Hz)
+    HTWdz = jnp.einsum("v,vai,vab,vb->i", cm, Hz, W, res_compact)
+
+    # Global condition pruning (reference checkCondition, icet.cpp:443-492 /
+    # ICET_spherical.py:774-824).  With L2 a row-selector of the eigenbasis,
+    # dx = pinv(L2 lam U2^T) L2 U2^T (H^T W dz) collapses to the truncated
+    # eigen pseudo-inverse below.
+    w6, U2 = eigh_small(HTWH)  # ascending
+    cond_full = jnp.abs(w6[-1] / jnp.where(w6[0] != 0.0, w6[0], 1e-30))
+    keep = jnp.abs(w6[-1]) <= cfg.condition_cutoff * jnp.abs(w6)
+    inv_kept = jnp.where(keep, 1.0 / jnp.where(keep, w6, 1.0), 0.0)
+    dx = U2 @ (inv_kept * (U2.T @ HTWdz))
+
+    # Predicted error covariance (reference icet.cpp:410-417,
+    # ICET_spherical.py:462-463).
+    wmax = jnp.max(jnp.abs(w6))
+    invertible = jnp.abs(w6) > cfg.pinv_rcond * wmax
+    inv_all = jnp.where(invertible, 1.0 / jnp.where(invertible, w6, 1.0), 0.0)
+    Q = (U2 * inv_all[None, :]) @ U2.T
+    pred_stds = jnp.sqrt(jnp.abs(jnp.diag(Q)))
+    # Inflate components of globally pruned axes (reference icet.cpp:469-486).
+    dropped = (~keep).astype(pred_stds.dtype)
+    pred_stds = pred_stds + jnp.abs(U2) @ dropped
+
+    X_new = X + dx
+    diag = IterationDiag(
+        n_corr=jnp.sum(corr.astype(jnp.int32)),
+        condition=cond_full,
+        dx_norm=jnp.linalg.norm(dx),
+        n_dropped_axes=jnp.sum((~keep).astype(jnp.int32)),
+        n_rejected_moving=n_rejected,
+    )
+    return X_new, pred_stds, Q, corr, diag
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def register(
+    model: VoxelModel, scan2: jax.Array, x0: jax.Array, cfg: ICETConfig
+) -> RegistrationResult:
+    """Solve for the 6-DOF transform aligning scan 2 to the voxel model."""
+    V1 = cfg.n_voxels + 1
+
+    def body(carry, it):
+        X, _, _, _ = carry
+        X_new, pred_stds, Q, corr, diag = _iteration(model, scan2, X, it, cfg)
+        return (X_new, pred_stds, Q, corr), diag
+
+    init = (
+        x0.astype(scan2.dtype),
+        jnp.zeros((6,), scan2.dtype),
+        jnp.zeros((6, 6), scan2.dtype),
+        jnp.zeros((V1,), bool),
+    )
+    (X, pred_stds, Q, corr), diags = jax.lax.scan(
+        body, init, jnp.arange(cfg.n_iters)
+    )
+
+    # Scan-2 points inside used (non-moving) voxels at the final estimate
+    # (reference cloud2_static, ICET_spherical.py:482-487).
+    p2 = transform_points(scan2, X)
+    rtp2 = cart_to_spherical(p2)
+    vid2 = voxel_ids(rtp2, cfg)
+    member2 = membership(
+        vid2, rtp2[..., 0], rtp2[..., 0] >= cfg.min_range, model.bounds, cfg.n_voxels
+    )
+    static_mask = member2 & corr[jnp.where(member2, vid2, cfg.n_voxels)]
+
+    return RegistrationResult(
+        X=X, pred_stds=pred_stds, Q=Q, diagnostics=diags, static_mask=static_mask
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def register_pair(
+    scan1: jax.Array,
+    scan2: jax.Array,
+    x0: jax.Array,
+    cfg: ICETConfig,
+) -> RegistrationResult:
+    """End-to-end registration of a scan pair (the ICET ctor equivalent,
+    reference src/icet.cpp:29-63)."""
+    model = prepare_reference(scan1, cfg)
+    return register(model, scan2, x0, cfg)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def prepare_reference_jit(scan1: jax.Array, cfg: ICETConfig) -> VoxelModel:
+    return prepare_reference(scan1, cfg)
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def register_jit(
+    model: VoxelModel, scan2: jax.Array, x0: jax.Array, cfg: ICETConfig
+) -> RegistrationResult:
+    return register(model, scan2, x0, cfg)
