@@ -22,6 +22,11 @@ and Python variants disagree — see below):
   matrices exactly.
 
 Everything here is shape-polymorphic pure jnp, safe under jit/vmap/shard_map.
+
+All contractions involving raw point coordinates are pinned to
+``Precision.HIGHEST``: TPU matmuls default to bf16 MXU passes, which would
+round coordinates by ~0.4% (centimetres at lidar ranges) and destroy the
+mm-level registration accuracy.
 """
 
 from __future__ import annotations
@@ -30,6 +35,7 @@ import jax
 import jax.numpy as jnp
 
 TWO_PI = 2.0 * jnp.pi
+_HI = jax.lax.Precision.HIGHEST
 
 
 def cart_to_spherical(pts: jax.Array) -> jax.Array:
@@ -98,7 +104,7 @@ def transform_points(pts: jax.Array, X: jax.Array) -> jax.Array:
     reference ICET_spherical.py:155-158).
     """
     rot = euler_R(-X[3:6])
-    return pts @ rot.T + X[:3]
+    return jnp.matmul(pts, rot.T, precision=_HI) + X[:3]
 
 
 def measurement_jacobian(mu: jax.Array, angs: jax.Array) -> jax.Array:
@@ -112,7 +118,7 @@ def measurement_jacobian(mu: jax.Array, angs: jax.Array) -> jax.Array:
     """
     dR = rotation_jacobian(angs)  # (3, 3, 3), [..., k] = dR/da_k
     # rot_block[v, :, k] = (dR/da_k) @ mu[v]
-    rot_block = jnp.einsum("ijk,vj->vik", dR, mu)
+    rot_block = jnp.einsum("ijk,vj->vik", dR, mu, precision=_HI)
     eye = -jnp.eye(3, dtype=mu.dtype)
     eye = jnp.broadcast_to(eye, (mu.shape[0], 3, 3))
     return jnp.concatenate([eye, rot_block], axis=-1)
@@ -138,20 +144,43 @@ def compose_pose(T_world: jax.Array, X: jax.Array) -> jax.Array:
 
     ``T_new = T_world @ pose_matrix(X)`` (reference odometry.cpp:93-98).
     """
-    return T_world @ pose_matrix(X)
+    return jnp.matmul(T_world, pose_matrix(X), precision=_HI)
+
+
+def euler_from_R(rot: jax.Array) -> jax.Array:
+    """Exact inverse of :func:`euler_R` away from the theta = +-pi/2 gimbal
+    singularity: ``euler_from_R(euler_R(a)) == a``.
+
+    Derived from the closed-form entries of the reference's rotation matrix
+    (src/utils.cpp:147-149): ``R[2,0] = sin(theta)``,
+    ``R[2,1] = -sin(phi)cos(theta)``, ``R[1,0] = -sin(psi)cos(theta)``.
+    """
+    r_sum = jnp.sqrt(
+        (rot[..., 0, 0] ** 2 + rot[..., 1, 0] ** 2 + rot[..., 2, 1] ** 2 + rot[..., 2, 2] ** 2)
+        / 2.0
+    )
+    phi = jnp.arctan2(-rot[..., 2, 1], rot[..., 2, 2])
+    theta = jnp.arctan2(rot[..., 2, 0], r_sum)
+    psi = jnp.arctan2(-rot[..., 1, 0], rot[..., 0, 0])
+    return jnp.stack([phi, theta, psi], axis=-1)
 
 
 def rotmat_to_euler(rot: jax.Array) -> jax.Array:
-    """Invert :func:`euler_R` (reference python/utils.py:273-286).
+    """Reference-compatible ``R2Euler`` (python/utils.py:273-286).
 
-    Returns ``(phi, theta, psi)`` such that ``euler_R(out) ~ rot`` for
-    rotations away from the theta = +-pi/2 gimbal singularity.
+    Contract (verified against the reference formulas):
+    ``rotmat_to_euler(euler_R(a).T) == a`` — i.e. it inverts the TRANSPOSE of
+    :func:`euler_R`, equivalently ``rotmat_to_euler(M) == euler_from_R(M.T)``.
     """
-    r_sum = jnp.sqrt(
-        (rot[..., 0, 0] ** 2 + rot[..., 0, 1] ** 2 + rot[..., 1, 2] ** 2 + rot[..., 2, 2] ** 2)
-        / 2.0
-    )
-    phi = jnp.arctan2(-rot[..., 1, 2], rot[..., 2, 2])
-    theta = jnp.arctan2(rot[..., 0, 2], r_sum)
-    psi = jnp.arctan2(-rot[..., 0, 1], rot[..., 0, 0])
-    return jnp.stack([phi, theta, psi], axis=-1)
+    return euler_from_R(jnp.swapaxes(rot, -1, -2))
+
+
+def pose_to_state(T: jax.Array) -> jax.Array:
+    """Recover the 6-DOF state from a homogeneous pose matrix.
+
+    Inverse of :func:`pose_matrix`: ``pose_to_state(pose_matrix(X)) == X``
+    away from gimbal lock.  Used by the odometry node to express accumulated
+    world poses in solver coordinates (reference odometry.cpp:102-131).
+    """
+    angs = -euler_from_R(T[..., :3, :3])
+    return jnp.concatenate([T[..., :3, 3], angs], axis=-1)

@@ -20,6 +20,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+_HI = jax.lax.Precision.HIGHEST
+
 
 def _jacobi_sweep_schedule(n: int, sweeps: int):
     pairs = [(p, q) for p in range(n - 1) for q in range(p + 1, n)]
@@ -45,31 +47,35 @@ def eigh_small(A: jax.Array, sweeps: int = 8):
     V = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape)
 
     eye = jnp.eye(n, dtype=A.dtype)
+    pairs = _jacobi_sweep_schedule(n, 1)
 
-    def rotate(carry, pq):
+    def sweep(carry, _):
         A, V = carry
-        p, q = pq
-        apq = A[..., p, q]
-        app = A[..., p, p]
-        aqq = A[..., q, q]
-        # Givens angle zeroing A[p, q]; arctan2 handles apq == 0 smoothly.
-        ang = 0.5 * jnp.arctan2(2.0 * apq, aqq - app)
-        c = jnp.cos(ang)
-        s = jnp.sin(ang)
-        # G = I with G[p,p]=c, G[q,q]=c, G[p,q]=s, G[q,p]=-s
-        G = jnp.broadcast_to(eye, A.shape)
-        G = G.at[..., p, p].set(c)
-        G = G.at[..., q, q].set(c)
-        G = G.at[..., p, q].set(s)
-        G = G.at[..., q, p].set(-s)
-        GT = jnp.swapaxes(G, -1, -2)
-        A = GT @ A @ G
-        V = V @ G
+        # One full cyclic sweep, unrolled over the static pair schedule
+        # (n <= 6 -> at most 15 rotations); identical sweeps are rolled up by
+        # the outer lax.scan to keep the program small.
+        for p, q in pairs:
+            apq = A[..., p, q]
+            app = A[..., p, p]
+            aqq = A[..., q, q]
+            # Givens angle zeroing A[p, q]; arctan2 handles apq == 0 smoothly.
+            ang = 0.5 * jnp.arctan2(2.0 * apq, aqq - app)
+            c = jnp.cos(ang)
+            s = jnp.sin(ang)
+            # G = I with G[p,p]=c, G[q,q]=c, G[p,q]=s, G[q,p]=-s
+            G = jnp.broadcast_to(eye, A.shape)
+            G = G.at[..., p, p].set(c)
+            G = G.at[..., q, q].set(c)
+            G = G.at[..., p, q].set(s)
+            G = G.at[..., q, p].set(-s)
+            GT = jnp.swapaxes(G, -1, -2)
+            # f32 precision is required: bf16 MXU passes would wreck the
+            # orthogonality of the accumulated eigenvector basis.
+            A = jnp.matmul(jnp.matmul(GT, A, precision=_HI), G, precision=_HI)
+            V = jnp.matmul(V, G, precision=_HI)
         return (A, V), None
 
-    # Unrolled static schedule: n<=6 -> at most 15 rotations per sweep.
-    for pq in _jacobi_sweep_schedule(n, sweeps):
-        (A, V), _ = rotate((A, V), pq)
+    (A, V), _ = jax.lax.scan(sweep, (A, V), None, length=sweeps)
 
     w = jnp.diagonal(A, axis1=-2, axis2=-1)
     order = jnp.argsort(w, axis=-1)
@@ -91,4 +97,6 @@ def psd_pinv(A: jax.Array, rcond: float = 1e-7, sweeps: int = 8) -> jax.Array:
     wmax = jnp.max(jnp.abs(w), axis=-1, keepdims=True)
     keep = jnp.abs(w) > jnp.maximum(rcond * wmax, 1e-12)
     inv_w = jnp.where(keep, 1.0 / jnp.where(keep, w, 1.0), 0.0)
-    return (V * inv_w[..., None, :]) @ jnp.swapaxes(V, -1, -2)
+    return jnp.matmul(
+        V * inv_w[..., None, :], jnp.swapaxes(V, -1, -2), precision=_HI
+    )

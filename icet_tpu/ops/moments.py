@@ -86,6 +86,7 @@ def _accumulate_onehot(feats, vid, n_voxels, block):
             f,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         return acc, None
 

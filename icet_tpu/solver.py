@@ -54,6 +54,13 @@ from icet_tpu.ops.grid import voxel_anchors, voxel_ids
 from icet_tpu.ops.linalg import eigh_small, psd_pinv
 from icet_tpu.ops.moments import voxel_moments
 
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    """f32-precision matmul (TPU defaults to bf16 MXU passes otherwise)."""
+    return jnp.matmul(a, b, precision=_HI)
+
 
 class VoxelModel(NamedTuple):
     """Dense per-voxel reference model fitted to scan 1 (all tables V+1)."""
@@ -214,7 +221,7 @@ def _iteration(model: VoxelModel, scan2: jax.Array, X, it, cfg: ICETConfig):
     # P = diag(l) U^T: compact (eigenbasis, extended-axis-masked) projector.
     P = model.lmask[:, :, None] * jnp.swapaxes(model.basis, -1, -2)
     residual = m2.mean - model.mean  # (V+1, 3)
-    res_compact = jnp.einsum("vij,vj->vi", P, residual)
+    res_compact = jnp.einsum("vij,vj->vi", P, residual, precision=_HI)
 
     # Moving-object rejection (reference ICET_spherical.py:175-285).
     n_rejected = jnp.zeros((), jnp.int32)
@@ -239,14 +246,14 @@ def _iteration(model: VoxelModel, scan2: jax.Array, X, it, cfg: ICETConfig):
     n1 = jnp.maximum(model.count - 1.0, 1.0)
     n2 = jnp.maximum(m2.count - 1.0, 1.0)
     R_noise = model.cov / n1[:, None, None] + m2.cov / n2[:, None, None]
-    R_proj = P @ R_noise @ jnp.swapaxes(P, -1, -2)
+    R_proj = _mm(_mm(P, R_noise), jnp.swapaxes(P, -1, -2))
     W = psd_pinv(R_proj, rcond=cfg.pinv_rcond)
 
     H = measurement_jacobian(m2.mean, X[3:6])  # (V+1, 3, 6)
-    Hz = P @ H
+    Hz = _mm(P, H)
 
-    HTWH = jnp.einsum("v,vai,vab,vbj->ij", cm, Hz, W, Hz)
-    HTWdz = jnp.einsum("v,vai,vab,vb->i", cm, Hz, W, res_compact)
+    HTWH = jnp.einsum("v,vai,vab,vbj->ij", cm, Hz, W, Hz, precision=_HI)
+    HTWdz = jnp.einsum("v,vai,vab,vb->i", cm, Hz, W, res_compact, precision=_HI)
 
     # Global condition pruning (reference checkCondition, icet.cpp:443-492 /
     # ICET_spherical.py:774-824).  With L2 a row-selector of the eigenbasis,
@@ -256,14 +263,14 @@ def _iteration(model: VoxelModel, scan2: jax.Array, X, it, cfg: ICETConfig):
     cond_full = jnp.abs(w6[-1] / jnp.where(w6[0] != 0.0, w6[0], 1e-30))
     keep = jnp.abs(w6[-1]) <= cfg.condition_cutoff * jnp.abs(w6)
     inv_kept = jnp.where(keep, 1.0 / jnp.where(keep, w6, 1.0), 0.0)
-    dx = U2 @ (inv_kept * (U2.T @ HTWdz))
+    dx = _mm(U2, inv_kept * _mm(U2.T, HTWdz))
 
     # Predicted error covariance (reference icet.cpp:410-417,
     # ICET_spherical.py:462-463).
     wmax = jnp.max(jnp.abs(w6))
     invertible = jnp.abs(w6) > cfg.pinv_rcond * wmax
     inv_all = jnp.where(invertible, 1.0 / jnp.where(invertible, w6, 1.0), 0.0)
-    Q = (U2 * inv_all[None, :]) @ U2.T
+    Q = _mm(U2 * inv_all[None, :], U2.T)
     pred_stds = jnp.sqrt(jnp.abs(jnp.diag(Q)))
     # Inflate components of globally pruned axes (reference icet.cpp:469-486).
     dropped = (~keep).astype(pred_stds.dtype)

@@ -1,0 +1,175 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from icet_tpu.config import ICETConfig, PROFILES
+from icet_tpu.datasets.synthetic import scan_pair_with_ground_truth
+from icet_tpu.solver import prepare_reference_jit, register_pair
+
+
+SYN_CFG = ICETConfig(
+    n_theta=48,
+    n_phi=16,
+    phi_min=np.pi / 3,
+    phi_max=2 * np.pi / 3,
+    n_iters=8,
+    min_pts=20,
+    min_range=1.0,
+)
+
+
+def _register_synthetic(X_true, seed=0, cfg=SYN_CFG, x0=None, **kw):
+    scan1, scan2 = scan_pair_with_ground_truth(np.asarray(X_true), seed=seed, **kw)
+    x0 = jnp.zeros(6) if x0 is None else jnp.asarray(x0)
+    return register_pair(jnp.asarray(scan1), jnp.asarray(scan2), x0, cfg)
+
+
+class TestKnownTransformRecovery:
+    """The dormant `true_transform` idea from reference msg/Num.msg:5 /
+    fake_lidar.py:177-178, automated: register scans with exact synthetic
+    ground truth and require recovery."""
+
+    def test_identity(self):
+        res = _register_synthetic(np.zeros(6))
+        np.testing.assert_allclose(np.asarray(res.X)[:3], 0.0, atol=5e-3)
+        np.testing.assert_allclose(np.asarray(res.X)[3:], 0.0, atol=2e-3)
+
+    @pytest.mark.parametrize(
+        "X_true",
+        [
+            [0.5, 0.0, 0.0, 0.0, 0.0, 0.0],
+            [0.3, -0.4, 0.05, 0.0, 0.0, 0.0],
+            [0.0, 0.0, 0.0, 0.0, 0.0, 0.03],
+            [0.4, 0.2, -0.05, 0.01, -0.01, 0.02],
+        ],
+    )
+    def test_recovers_transform(self, X_true):
+        res = _register_synthetic(X_true)
+        X = np.asarray(res.X)
+        np.testing.assert_allclose(X[:3], X_true[:3], atol=0.03)
+        np.testing.assert_allclose(X[3:], X_true[3:], atol=0.01)
+
+    def test_warm_start_converges_faster(self):
+        X_true = np.array([0.6, 0.3, 0.0, 0.0, 0.0, 0.02])
+        cold = _register_synthetic(X_true)
+        warm = _register_synthetic(X_true, x0=X_true.astype(np.float32))
+        assert np.asarray(warm.diagnostics.dx_norm)[0] < np.asarray(
+            cold.diagnostics.dx_norm
+        )[0]
+        np.testing.assert_allclose(np.asarray(warm.X)[:3], X_true[:3], atol=0.03)
+
+    def test_error_within_predicted_bounds(self):
+        """The paper's headline claim: pred_stds characterises actual error.
+        Require |error| < 6 * pred_stds + small floor per component."""
+        X_true = np.array([0.4, -0.2, 0.03, 0.0, 0.0, 0.01])
+        res = _register_synthetic(X_true)
+        err = np.abs(np.asarray(res.X) - X_true)
+        bound = 6.0 * np.asarray(res.pred_stds) + 5e-3
+        assert (err < bound).all(), (err, np.asarray(res.pred_stds))
+
+
+class TestDiagnostics:
+    def test_iteration_diagnostics_shapes(self):
+        res = _register_synthetic([0.2, 0.0, 0.0, 0.0, 0.0, 0.0])
+        d = res.diagnostics
+        assert np.asarray(d.n_corr).shape == (SYN_CFG.n_iters,)
+        assert (np.asarray(d.n_corr) > 50).all()
+        assert np.isfinite(np.asarray(d.condition)).all()
+        # dx should shrink as the solve converges.
+        dx = np.asarray(d.dx_norm)
+        assert dx[-1] < dx[0]
+
+    def test_q_matches_pred_stds(self):
+        res = _register_synthetic([0.2, 0.1, 0.0, 0.0, 0.0, 0.0])
+        q_diag = np.sqrt(np.abs(np.diag(np.asarray(res.Q))))
+        # pred_stds = sqrt(|diag Q|) (+ inflation only when axes are dropped)
+        dropped = np.asarray(res.diagnostics.n_dropped_axes)[-1]
+        if dropped == 0:
+            np.testing.assert_allclose(
+                np.asarray(res.pred_stds), q_diag, rtol=1e-4
+            )
+
+
+class TestVoxelModel:
+    def test_prepare_reference_tables(self):
+        scan1, _ = scan_pair_with_ground_truth(np.zeros(6), seed=1)
+        model = prepare_reference_jit(jnp.asarray(scan1), SYN_CFG)
+        V1 = SYN_CFG.n_voxels + 1
+        assert np.asarray(model.valid).shape == (V1,)
+        valid = np.asarray(model.valid)
+        assert valid.sum() > 50
+        assert not valid[-1]  # sentinel row never valid
+        b = np.asarray(model.bounds)
+        assert (b[valid, 1] > b[valid, 0]).all()
+        # Means of valid voxels are inside their radial bounds.
+        r = np.linalg.norm(np.asarray(model.mean)[valid], axis=1)
+        assert (r > b[valid, 0] - 0.5).all() and (r < b[valid, 1] + 0.5).all()
+        # Covariances are symmetric PSD-ish.
+        cov = np.asarray(model.cov)[valid]
+        np.testing.assert_allclose(cov, np.swapaxes(cov, -1, -2), atol=1e-5)
+        assert (np.linalg.eigvalsh(cov) > -1e-4).all()
+        # lmask zero on invalid voxels
+        assert np.asarray(model.lmask)[~valid].sum() == 0
+
+    def test_extended_surface_suppression_on_wall(self):
+        """A voxel on a large flat wall must have its in-plane (extended)
+        directions suppressed but keep the normal direction."""
+        scan1, _ = scan_pair_with_ground_truth(np.zeros(6), seed=2)
+        model = prepare_reference_jit(jnp.asarray(scan1), SYN_CFG)
+        valid = np.asarray(model.valid)
+        lmask = np.asarray(model.lmask)[valid]
+        # Plenty of voxels should have at least one suppressed axis (walls and
+        # ground dominate the synthetic scene) but not all axes suppressed.
+        frac_suppressed = (lmask.sum(axis=1) < 3).mean()
+        assert frac_suppressed > 0.3
+        assert (lmask.sum(axis=1) > 0).mean() > 0.5
+
+
+class TestMovingObjectRejection:
+    def test_moving_cluster_rejected(self):
+        X_true = np.zeros(6)
+        scan1, scan2 = scan_pair_with_ground_truth(X_true, seed=3)
+        # Inject a "moving object": displace a blob of points 1 m sideways in
+        # scan 2 only.
+        blob_center = np.array([12.0, 3.0, -1.0], np.float32)
+        d1 = np.linalg.norm(scan1 - blob_center, axis=1)
+        rng = np.random.default_rng(0)
+        blob = (blob_center + rng.normal(size=(800, 3)) * 0.3).astype(np.float32)
+        scan1 = np.concatenate([scan1, blob])
+        scan2 = np.concatenate([scan2, blob + np.array([1.0, 0.0, 0.0], np.float32)])
+        cfg = SYN_CFG.replace(remove_moving=True, rm_start_iter=3)
+        res = register_pair(jnp.asarray(scan1), jnp.asarray(scan2), jnp.zeros(6), cfg)
+        rejected = np.asarray(res.diagnostics.n_rejected_moving)
+        assert rejected[: cfg.rm_start_iter].sum() == 0
+        assert rejected[-1] >= 1
+        np.testing.assert_allclose(np.asarray(res.X)[:3], 0.0, atol=0.05)
+
+    def test_static_mask_shape(self):
+        res = _register_synthetic([0.1, 0.0, 0.0, 0.0, 0.0, 0.0])
+        mask = np.asarray(res.static_mask)
+        assert mask.dtype == bool
+        assert 0 < mask.sum() < mask.size
+
+
+@pytest.mark.integration
+class TestReferenceGolden:
+    """Corridor test against the reference notebook's recorded output on the
+    bundled sample clouds (python/ICET_demo.ipynb cell 2-3: X converges to
+    ~[0.665, 0.009, 0.015, 0.0019, -5e-4, -4e-4] with ~5 mm run-to-run
+    variance from its own RNG)."""
+
+    def test_sample_pair_matches_reference(self, sample_clouds):
+        c1, c2 = sample_clouds
+        res = register_pair(
+            jnp.asarray(c1), jnp.asarray(c2), jnp.zeros(6), PROFILES["notebook"]
+        )
+        X = np.asarray(res.X)
+        golden = np.array([0.665, 0.009, 0.0155, 0.0019, -5.0e-4, -4.0e-4])
+        np.testing.assert_allclose(X[:3], golden[:3], atol=0.02)
+        np.testing.assert_allclose(X[3:], golden[3:], atol=0.002)
+        stds = np.asarray(res.pred_stds)
+        golden_stds = np.array(
+            [1.18e-3, 5.5e-4, 7.7e-5, 1.70e-5, 1.06e-5, 8.3e-5]
+        )
+        assert (stds / golden_stds < 3.0).all()
+        assert (stds / golden_stds > 1 / 3.0).all()
