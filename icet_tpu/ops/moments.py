@@ -95,7 +95,7 @@ def _accumulate_onehot(feats, vid, n_voxels, block):
     return acc
 
 
-def voxel_moments(
+def voxel_moment_sums(
     points: jax.Array,
     vid: jax.Array,
     member: jax.Array,
@@ -103,25 +103,24 @@ def voxel_moments(
     n_voxels: int,
     method: str = "segsum",
     block: int = 1024,
-) -> VoxelMoments:
-    """Accumulate per-voxel count / mean / covariance.
+) -> jax.Array:
+    """Raw (V+1, 16) anchored moment sums for a (shard of a) point cloud.
 
-    Args:
-      points: (N, 3) cartesian points.
-      vid: (N,) int32 voxel ids (sentinel ``n_voxels`` for out-of-grid).
-      member: (N,) bool in-cluster mask.
-      anchors: (V+1, 3) per-voxel anchor points.
-      n_voxels: V.
-      method: "segsum" or "onehot".
+    This is the psum-able quantity for multi-chip point sharding: each device
+    accumulates its local shard, then a single ``lax.psum`` over the mesh axis
+    yields the global sums (the ICI collective replacing the reference's
+    shared-memory accumulation, icet.cpp:383-404).
     """
     vid = jnp.where(member, vid, n_voxels).astype(jnp.int32)
     g = points - anchors[vid]
     feats = _point_features(g, member)
     if method == "onehot":
-        sums = _accumulate_onehot(feats, vid, n_voxels, block)
-    else:
-        sums = _accumulate_segsum(feats, vid, n_voxels)
+        return _accumulate_onehot(feats, vid, n_voxels, block)
+    return _accumulate_segsum(feats, vid, n_voxels)
 
+
+def finalize_moments(sums: jax.Array, anchors: jax.Array) -> VoxelMoments:
+    """Turn (possibly psum'd) raw sums into count / mean / sample covariance."""
     count = sums[:, 0]
     safe_n = jnp.maximum(count, 1.0)
     gbar = sums[:, 1:4] / safe_n[:, None]
@@ -141,3 +140,31 @@ def voxel_moments(
     denom = jnp.maximum(count - 1.0, 1.0)
     cov = centered / denom[:, None, None]
     return VoxelMoments(count=count, mean=mean, cov=cov)
+
+
+def voxel_moments(
+    points: jax.Array,
+    vid: jax.Array,
+    member: jax.Array,
+    anchors: jax.Array,
+    n_voxels: int,
+    method: str = "segsum",
+    block: int = 1024,
+    axis_name: str | None = None,
+) -> VoxelMoments:
+    """Accumulate per-voxel count / mean / covariance.
+
+    Args:
+      points: (N, 3) cartesian points (the LOCAL shard under shard_map).
+      vid: (N,) int32 voxel ids (sentinel ``n_voxels`` for out-of-grid).
+      member: (N,) bool in-cluster mask.
+      anchors: (V+1, 3) per-voxel anchor points (replicated).
+      n_voxels: V.
+      method: "segsum" or "onehot".
+      axis_name: if set, psum the raw sums over this mesh axis (point-sharded
+        multi-chip accumulation).
+    """
+    sums = voxel_moment_sums(points, vid, member, anchors, n_voxels, method, block)
+    if axis_name is not None:
+        sums = jax.lax.psum(sums, axis_name)
+    return finalize_moments(sums, anchors)

@@ -128,24 +128,39 @@ def _sigma_axis_mask(model_mean, eigvals, basis, bounds, valid, cfg: ICETConfig)
     return jnp.where(valid[:, None], keep.astype(model_mean.dtype), 0.0)
 
 
-def prepare_reference(scan1: jax.Array, cfg: ICETConfig) -> VoxelModel:
+def prepare_reference(
+    scan1: jax.Array, cfg: ICETConfig, axis_name: str | None = None
+) -> VoxelModel:
     """Fit the dense voxel model to the keyframe scan (reference fitScan1,
-    src/icet.cpp:68-252)."""
-    rtp = cart_to_spherical(scan1)
-    r = rtp[..., 0]
-    valid_pt = r >= cfg.min_range
-    vid = voxel_ids(rtp, cfg)
+    src/icet.cpp:68-252).
 
+    Under shard_map with ``axis_name``, ``scan1`` is the LOCAL point shard:
+    the radial clustering all-gathers the (small, ~1 MB) cloud over ICI so
+    every device computes identical bounds, while the moment accumulation
+    stays sharded and is reduced with one psum.
+    """
+    if axis_name is not None:
+        scan1_full = jax.lax.all_gather(scan1, axis_name, axis=0, tiled=True)
+    else:
+        scan1_full = scan1
+
+    rtp_full = cart_to_spherical(scan1_full)
+    r_full = rtp_full[..., 0]
     clusters = radial_cluster_bounds(
-        vid,
-        r,
-        valid_pt,
+        voxel_ids(rtp_full, cfg),
+        r_full,
+        r_full >= cfg.min_range,
         cfg.n_voxels,
         cfg.min_pts,
         cfg.cluster_gap,
         cfg.cluster_buffer,
     )
     anchors = voxel_anchors(clusters.bounds, cfg)
+
+    rtp = cart_to_spherical(scan1)
+    r = rtp[..., 0]
+    valid_pt = r >= cfg.min_range
+    vid = voxel_ids(rtp, cfg)
     member = membership(vid, r, valid_pt, clusters.bounds, cfg.n_voxels)
     moments = voxel_moments(
         scan1,
@@ -155,6 +170,7 @@ def prepare_reference(scan1: jax.Array, cfg: ICETConfig) -> VoxelModel:
         cfg.n_voxels,
         method=_moment_method(cfg),
         block=cfg.moment_block,
+        axis_name=axis_name,
     )
 
     valid = (
@@ -199,7 +215,14 @@ def _covariance_yaw(cov: jax.Array) -> jax.Array:
     return jnp.arctan2(-cov[..., 0, 1], cov[..., 0, 0])
 
 
-def _iteration(model: VoxelModel, scan2: jax.Array, X, it, cfg: ICETConfig):
+def _iteration(
+    model: VoxelModel,
+    scan2: jax.Array,
+    X,
+    it,
+    cfg: ICETConfig,
+    axis_name: str | None = None,
+):
     p2 = transform_points(scan2, X)
     rtp2 = cart_to_spherical(p2)
     r2 = rtp2[..., 0]
@@ -214,6 +237,7 @@ def _iteration(model: VoxelModel, scan2: jax.Array, X, it, cfg: ICETConfig):
         cfg.n_voxels,
         method=_moment_method(cfg),
         block=cfg.moment_block,
+        axis_name=axis_name,
     )
 
     corr = model.valid & (m2.count >= cfg.min_pts)
@@ -293,14 +317,25 @@ def _iteration(model: VoxelModel, scan2: jax.Array, X, it, cfg: ICETConfig):
 
 
 def register(
-    model: VoxelModel, scan2: jax.Array, x0: jax.Array, cfg: ICETConfig
+    model: VoxelModel,
+    scan2: jax.Array,
+    x0: jax.Array,
+    cfg: ICETConfig,
+    axis_name: str | None = None,
 ) -> RegistrationResult:
-    """Solve for the 6-DOF transform aligning scan 2 to the voxel model."""
+    """Solve for the 6-DOF transform aligning scan 2 to the voxel model.
+
+    Under shard_map with ``axis_name``, ``scan2`` is the local point shard and
+    the returned ``static_mask`` covers only that shard; everything else is
+    replicated across the axis.
+    """
     V1 = cfg.n_voxels + 1
 
     def body(carry, it):
         X, _, _, _ = carry
-        X_new, pred_stds, Q, corr, diag = _iteration(model, scan2, X, it, cfg)
+        X_new, pred_stds, Q, corr, diag = _iteration(
+            model, scan2, X, it, cfg, axis_name
+        )
         return (X_new, pred_stds, Q, corr), diag
 
     init = (
@@ -328,6 +363,18 @@ def register(
     )
 
 
+def register_pair_impl(
+    scan1: jax.Array,
+    scan2: jax.Array,
+    x0: jax.Array,
+    cfg: ICETConfig,
+    axis_name: str | None = None,
+) -> RegistrationResult:
+    """Un-jitted end-to-end registration (composable under shard_map/vmap)."""
+    model = prepare_reference(scan1, cfg, axis_name)
+    return register(model, scan2, x0, cfg, axis_name)
+
+
 @functools.partial(jax.jit, static_argnums=(3,))
 def register_pair(
     scan1: jax.Array,
@@ -337,8 +384,7 @@ def register_pair(
 ) -> RegistrationResult:
     """End-to-end registration of a scan pair (the ICET ctor equivalent,
     reference src/icet.cpp:29-63)."""
-    model = prepare_reference(scan1, cfg)
-    return register(model, scan2, x0, cfg)
+    return register_pair_impl(scan1, scan2, x0, cfg)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
