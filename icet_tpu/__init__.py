@@ -9,6 +9,8 @@ robustness-filter layers that sit around the solver.
 """
 
 from icet_tpu.config import ICETConfig, MapConfig, OdometryConfig, PROFILES
+from icet_tpu.mapping import MapMaker
+from icet_tpu.odometry import OdometryPipeline, run_odometry
 from icet_tpu.solver import (
     RegistrationResult,
     VoxelModel,
@@ -23,6 +25,9 @@ __version__ = "0.1.0"
 
 __all__ = [
     "ICETConfig",
+    "MapMaker",
+    "OdometryPipeline",
+    "run_odometry",
     "MapConfig",
     "OdometryConfig",
     "PROFILES",

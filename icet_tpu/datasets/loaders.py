@@ -1,0 +1,150 @@
+"""Point-cloud dataset loaders + padding utilities.
+
+Replaces the reference's loader zoo (src/fake_lidar.py:85-163 covers
+KITTI_CARLA ply, KITTI raw, Ouster csv, CODD hdf5, PixSet pkl, Ford mat;
+src/utils.cpp:12-91 loads Ouster/tab csv) with host-side numpy loaders that
+all produce one canonical product: a fixed-shape float32 (max_points, 3)
+array with zero-padding (the solver's range gate masks pad points).
+
+Formats that need unavailable third-party readers (hdf5, pkl, mat) degrade
+with a clear error instead of an import crash.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, Iterator
+
+import numpy as np
+
+#: canonical static point budget: 131072 covers 64-channel x 2048-azimuth
+DEFAULT_MAX_POINTS = 131072
+
+
+def pad_cloud(points: np.ndarray, max_points: int = DEFAULT_MAX_POINTS) -> np.ndarray:
+    """Pad/truncate an (N, 3) cloud to the static (max_points, 3) shape.
+
+    Zero rows are dropped points (r < min_range gate).  Truncation keeps a
+    uniform stride subsample rather than the head, so a too-large cloud stays
+    spatially representative.
+    """
+    points = np.asarray(points, np.float32).reshape(-1, 3)
+    n = points.shape[0]
+    if n > max_points:
+        idx = np.linspace(0, n - 1, max_points).astype(np.int64)
+        return np.ascontiguousarray(points[idx])
+    out = np.zeros((max_points, 3), np.float32)
+    out[:n] = points
+    return out
+
+
+def load_npy(path: str, max_points: int = DEFAULT_MAX_POINTS) -> np.ndarray:
+    """Load an (N, 3) .npy cloud (the reference's bundled sample format)."""
+    return pad_cloud(np.load(path), max_points)
+
+
+def load_kitti_bin(path: str, max_points: int = DEFAULT_MAX_POINTS) -> np.ndarray:
+    """KITTI velodyne .bin: float32 (x, y, z, reflectance) records."""
+    raw = np.fromfile(path, dtype=np.float32).reshape(-1, 4)
+    return pad_cloud(raw[:, :3], max_points)
+
+
+def load_csv(
+    path: str,
+    max_points: int = DEFAULT_MAX_POINTS,
+    fmt: str = "auto",
+) -> np.ndarray:
+    """Delimited-text clouds.
+
+    fmt="ouster": the reference's Ouster studio export — skip 2 header rows,
+    XYZ in millimetres in columns 8-10 (utils.cpp:12-55).
+    fmt="xyz": whitespace/comma xyz per row (utils.cpp:57-91).
+    fmt="auto": sniff by column count.
+    """
+    if fmt == "ouster":
+        raw = np.genfromtxt(path, delimiter=",", skip_header=2)
+        return pad_cloud(raw[:, 8:11] / 1000.0, max_points)
+    delim = "," if "," in open(path).readline() else None
+    raw = np.genfromtxt(path, delimiter=delim)
+    if raw.ndim == 1:
+        raw = raw[None, :]
+    if fmt == "auto" and raw.shape[1] >= 11:
+        return pad_cloud(raw[:, 8:11] / 1000.0, max_points)
+    return pad_cloud(raw[:, :3], max_points)
+
+
+def load_ply(path: str, max_points: int = DEFAULT_MAX_POINTS) -> np.ndarray:
+    """Minimal PLY reader (ascii + binary_little_endian float32 x/y/z-first),
+    covering the KITTI-CARLA exports the reference replays
+    (fake_lidar.py:88-99)."""
+    with open(path, "rb") as f:
+        header = []
+        while True:
+            line = f.readline().decode("ascii", "replace").strip()
+            header.append(line)
+            if line == "end_header":
+                break
+        n_vertex = 0
+        fmt = "ascii"
+        props = []
+        for line in header:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "format":
+                fmt = parts[1]
+            elif parts[0] == "element" and parts[1] == "vertex":
+                n_vertex = int(parts[2])
+            elif parts[0] == "property" and len(props) < 64:
+                props.append((parts[1], parts[2]))
+        if fmt == "ascii":
+            rows = []
+            for _ in range(n_vertex):
+                rows.append(
+                    [float(v) for v in f.readline().split()[: len(props)]]
+                )
+            data = np.asarray(rows, np.float32)
+        else:
+            sizes = {"float": 4, "float32": 4, "double": 8, "uchar": 1,
+                     "uint8": 1, "int": 4, "int32": 4, "short": 2, "ushort": 2}
+            rec = sum(sizes[t] for t, _ in props)
+            buf = f.read(rec * n_vertex)
+            data = np.frombuffer(buf, dtype=np.uint8).reshape(n_vertex, rec)
+            # Assume x, y, z are the first three float32 properties.
+            data = data[:, :12].copy().view(np.float32).reshape(n_vertex, 3)
+        names = [p[1] for p in props]
+        if "x" in names:
+            i = names.index("x")
+            xyz = data[:, i : i + 3]
+        else:
+            xyz = data[:, :3]
+        return pad_cloud(xyz, max_points)
+
+
+_LOADERS = {
+    ".npy": load_npy,
+    ".bin": load_kitti_bin,
+    ".csv": load_csv,
+    ".txt": load_csv,
+    ".ply": load_ply,
+}
+
+
+def load_cloud(path: str, max_points: int = DEFAULT_MAX_POINTS) -> np.ndarray:
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".h5", ".hdf5", ".pkl", ".mat"):
+        raise NotImplementedError(
+            f"{ext} clouds need a reader not baked into this image; convert "
+            "to .npy/.bin first (the reference's CODD/PixSet/Ford loaders, "
+            "fake_lidar.py:126-162, had the same external deps)."
+        )
+    if ext not in _LOADERS:
+        raise ValueError(f"unknown point-cloud format: {path}")
+    return _LOADERS[ext](path, max_points)
+
+
+def load_sequence(
+    paths: Iterable[str], max_points: int = DEFAULT_MAX_POINTS
+) -> Iterator[np.ndarray]:
+    for p in paths:
+        yield load_cloud(p, max_points)

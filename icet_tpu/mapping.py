@@ -1,0 +1,184 @@
+"""HD-map accumulation engine (reference src/simpleMapMaker.cpp).
+
+The reference keeps a fixed 600k-point FIFO ring (``EigenQueue``,
+simpleMapMaker.cpp:18-58) on the host, re-expressing the whole map in the
+newest sensor frame after every scan and inserting a random 2000-point
+downsample of the scan.  Here the map lives in DEVICE memory as a
+fixed-capacity ring with a validity mask; the re-expression, downsample and
+ring insert are one jitted program per frame (static shapes, one dispatch).
+
+The reference's downsampler indexes ``downsampleSize`` rows even when the
+scan has fewer (out-of-bounds read, simpleMapMaker.cpp:156-159); here the
+sampler draws only valid points and marks short-fall slots invalid.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icet_tpu.config import ICETConfig, MapConfig, OdometryConfig
+from icet_tpu.ops.geometry import euler_R
+from icet_tpu.solver import prepare_reference_jit, register_jit
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+class MapState(NamedTuple):
+    points: jax.Array  # (capacity, 3), expressed in the NEWEST sensor frame
+    valid: jax.Array  # (capacity,) bool
+    write_ptr: jax.Array  # () int32 ring cursor
+    trail: jax.Array  # (trail_capacity, 3) past sensor origins, newest frame
+    trail_len: jax.Array  # () int32
+
+
+def init_map(map_cfg: MapConfig, trail_capacity: int = 4096) -> MapState:
+    return MapState(
+        points=jnp.zeros((map_cfg.capacity, 3), jnp.float32),
+        valid=jnp.zeros((map_cfg.capacity,), bool),
+        write_ptr=jnp.zeros((), jnp.int32),
+        trail=jnp.zeros((trail_capacity, 3), jnp.float32),
+        trail_len=jnp.zeros((), jnp.int32),
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def map_update(
+    state: MapState,
+    scan: jax.Array,
+    X: jax.Array,
+    key: jax.Array,
+    map_cfg: MapConfig,
+    min_range: float = 0.2,
+) -> MapState:
+    """Advance the map by one registered scan.
+
+    ``X`` is the frame-to-frame solution mapping the new scan's frame to the
+    previous frame (``p_prev = R(-angs) p_new + t``).  The stored map (held in
+    the previous frame) is re-expressed in the new frame via the inverse
+    transform, matching reference EigenQueue::add_new_scan
+    (simpleMapMaker.cpp:34-41): ``p_new = R^T (p_prev - t)``.
+    """
+    rot = euler_R(-X[3:6])  # p_prev = rot @ p_new + t
+    # Re-express stored points and trail in the new frame.
+    pts = jnp.matmul(state.points - X[:3], rot, precision=_HI)
+    trail = jnp.matmul(state.trail - X[:3], rot, precision=_HI)
+
+    # Random downsample of the (already new-frame) scan to points_per_scan.
+    r2 = jnp.sum(scan * scan, axis=-1)
+    ok = r2 > (min_range * min_range)
+    # Random keys; invalid points pushed past every valid one.
+    order = jnp.argsort(
+        jax.random.uniform(key, (scan.shape[0],)) + (~ok) * 2.0
+    )
+    take = order[: map_cfg.points_per_scan]
+    new_pts = scan[take]
+    new_ok = ok[take]
+
+    # Ring insert with wraparound.
+    idx = (
+        state.write_ptr + jnp.arange(map_cfg.points_per_scan, dtype=jnp.int32)
+    ) % map_cfg.capacity
+    pts = pts.at[idx].set(new_pts)
+    valid = state.valid.at[idx].set(new_ok)
+    write_ptr = (state.write_ptr + map_cfg.points_per_scan) % map_cfg.capacity
+
+    # Snail trail (reference /snail_trail_topic, simpleMapMaker.cpp:212-230):
+    # append the new sensor origin (0 in its own frame), dropping the oldest
+    # when full.
+    cap = state.trail.shape[0]
+    shift = jnp.where(state.trail_len >= cap, 1, 0)
+    trail = jnp.roll(trail, -shift, axis=0)
+    slot = jnp.minimum(state.trail_len, cap - 1)
+    trail = trail.at[slot].set(jnp.zeros(3, jnp.float32))
+    trail_len = jnp.minimum(state.trail_len + 1, cap)
+
+    return MapState(
+        points=pts, valid=valid, write_ptr=write_ptr, trail=trail,
+        trail_len=trail_len,
+    )
+
+
+@dataclasses.dataclass
+class MapFrame:
+    index: int
+    X: np.ndarray
+    pred_stds: np.ndarray
+    diverged: bool
+    n_map_points: int
+
+
+class MapMaker:
+    """Streaming map accumulator (reference MapMakerNode,
+    simpleMapMaker.cpp:60-289): register each scan against the previous one,
+    guard divergence, and fold the scan into the device-resident ring map."""
+
+    def __init__(
+        self,
+        cfg: ICETConfig | None = None,
+        map_cfg: MapConfig | None = None,
+        odo_cfg: OdometryConfig | None = None,
+        seed: int = 0,
+    ):
+        from icet_tpu.config import PROFILES
+
+        self.cfg = cfg or PROFILES["mapping"]
+        self.map_cfg = map_cfg or MapConfig()
+        self.odo_cfg = odo_cfg or OdometryConfig()
+        self._key = jax.random.PRNGKey(seed)
+        self._model = None
+        self._index = 0
+        self.state = init_map(self.map_cfg)
+
+    def step(self, scan: np.ndarray) -> MapFrame | None:
+        scan_dev = jnp.asarray(scan, jnp.float32)
+        if self._model is None:
+            # First scan seeds the map directly with X = 0.
+            self._model = prepare_reference_jit(scan_dev, self.cfg)
+            self._key, sub = jax.random.split(self._key)
+            self.state = map_update(
+                self.state, scan_dev, jnp.zeros(6, jnp.float32), sub,
+                self.map_cfg, self.cfg.min_range,
+            )
+            self._index += 1
+            return None
+
+        # The mapping node cold-starts every solve from X0 = 0
+        # (simpleMapMaker.cpp:113-119).
+        res = register_jit(
+            self._model, scan_dev, jnp.zeros(6, jnp.float32), self.cfg
+        )
+        X = res.X
+        diverged = bool(jnp.any(jnp.abs(X) > self.odo_cfg.divergence_clamp))
+        if diverged:
+            X = jnp.zeros(6, jnp.float32)
+
+        self._key, sub = jax.random.split(self._key)
+        self.state = map_update(
+            self.state, scan_dev, X, sub, self.map_cfg, self.cfg.min_range
+        )
+        self._model = prepare_reference_jit(scan_dev, self.cfg)
+
+        frame = MapFrame(
+            index=self._index,
+            X=np.asarray(X),
+            pred_stds=np.asarray(res.pred_stds),
+            diverged=diverged,
+            n_map_points=int(np.asarray(self.state.valid).sum()),
+        )
+        self._index += 1
+        return frame
+
+    def map_points(self) -> np.ndarray:
+        """Export the current map (newest sensor frame) as (M, 3) numpy."""
+        pts = np.asarray(self.state.points)
+        return pts[np.asarray(self.state.valid)]
+
+    def snail_trail(self) -> np.ndarray:
+        n = int(self.state.trail_len)
+        return np.asarray(self.state.trail)[:n]

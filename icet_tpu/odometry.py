@@ -1,0 +1,140 @@
+"""Frame-to-frame odometry driver (reference src/odometry.cpp:22-212).
+
+Host-side loop around the jitted solver: per incoming scan it registers
+against the previous scan with a warm-started initial guess, guards against
+divergence, accumulates the world pose, and emits a structured per-frame
+record (the reference publishes a ROS ``nav_msgs/Odometry`` with
+``pred_stds`` on the covariance diagonal; we return/stream the same content
+as plain data).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Iterable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icet_tpu.config import ICETConfig, OdometryConfig
+from icet_tpu.ops.geometry import compose_pose, pose_to_state
+from icet_tpu.solver import prepare_reference_jit, register_jit
+
+
+@dataclasses.dataclass
+class OdometryFrame:
+    """Per-frame odometry output (analog of the reference's /odom message +
+    console prints, odometry.cpp:102-165)."""
+
+    index: int
+    #: frame-to-frame solution [t, angs]
+    X: np.ndarray
+    #: predicted per-component solution std (pose covariance diagonal in the
+    #: reference's odometry message, odometry.cpp:122-131)
+    pred_stds: np.ndarray
+    #: accumulated 4x4 world pose (map -> sensor)
+    T_world: np.ndarray
+    #: world pose as a 6-DOF state
+    pose: np.ndarray
+    #: twist estimate assuming cfg.sensor_hz (odometry.cpp:134-140)
+    twist: np.ndarray
+    #: True if the divergence guard zeroed this frame's solution
+    diverged: bool
+    #: solver iterations' correspondence counts
+    n_corr: np.ndarray
+    #: wall-clock solve time (ms)
+    solve_ms: float
+
+
+class OdometryPipeline:
+    """Streaming odometry over an iterable of scans.
+
+    Usage::
+
+        pipe = OdometryPipeline(cfg, odo_cfg)
+        for frame in pipe.run(scans):
+            ...
+
+    Scans must share one static (N, 3) shape (pad with zero points; the range
+    gate masks them).  The previous scan's voxel model is reused as the next
+    registration's reference, so each frame costs one prepare + one register.
+    """
+
+    def __init__(
+        self,
+        cfg: ICETConfig | None = None,
+        odo_cfg: OdometryConfig | None = None,
+    ):
+        self.cfg = cfg or ICETConfig()
+        self.odo_cfg = odo_cfg or OdometryConfig()
+        self.reset()
+
+    def reset(self) -> None:
+        self._model = None
+        self._X_prev = jnp.zeros(6, jnp.float32)
+        self._T_world = jnp.eye(4, dtype=jnp.float32)
+        self._index = 0
+
+    def step(self, scan: np.ndarray) -> OdometryFrame | None:
+        """Feed one scan; returns None for the very first frame."""
+        t0 = time.perf_counter()
+        scan_dev = jnp.asarray(scan, jnp.float32)
+        if self._model is None:
+            self._model = prepare_reference_jit(scan_dev, self.cfg)
+            self._index += 1
+            return None
+
+        x0 = (
+            self._X_prev
+            if self.odo_cfg.warm_start
+            else jnp.zeros(6, jnp.float32)
+        )
+        res = register_jit(self._model, scan_dev, x0, self.cfg)
+        X = res.X
+
+        # Divergence guard (reference simpleMapMaker.cpp:129-137): a solution
+        # component beyond the clamp means the solve ran away; fall back to
+        # the identity (skip) transform for this frame.
+        diverged = bool(jnp.any(jnp.abs(X) > self.odo_cfg.divergence_clamp))
+        if diverged:
+            X = jnp.zeros(6, jnp.float32)
+
+        self._T_world = compose_pose(self._T_world, X)
+        self._X_prev = X
+        # Next frame registers against this scan.
+        self._model = prepare_reference_jit(scan_dev, self.cfg)
+
+        frame = OdometryFrame(
+            index=self._index,
+            X=np.asarray(X),
+            pred_stds=np.asarray(res.pred_stds),
+            T_world=np.asarray(self._T_world),
+            pose=np.asarray(pose_to_state(self._T_world)),
+            twist=np.asarray(X) * self.odo_cfg.sensor_hz,
+            diverged=diverged,
+            n_corr=np.asarray(res.diagnostics.n_corr),
+            solve_ms=(time.perf_counter() - t0) * 1000.0,
+        )
+        self._index += 1
+        return frame
+
+    def run(self, scans: Iterable[np.ndarray]) -> Iterator[OdometryFrame]:
+        for scan in scans:
+            frame = self.step(scan)
+            if frame is not None:
+                yield frame
+
+    @property
+    def trajectory_pose(self) -> np.ndarray:
+        return np.asarray(self._T_world)
+
+
+def run_odometry(
+    scans: Iterable[np.ndarray],
+    cfg: ICETConfig | None = None,
+    odo_cfg: OdometryConfig | None = None,
+) -> list[OdometryFrame]:
+    """Convenience wrapper: run the whole sequence, return all frames."""
+    return list(OdometryPipeline(cfg, odo_cfg).run(scans))
