@@ -1,0 +1,157 @@
+"""Voxel rejection filters beyond the solver's built-in moving-object test.
+
+Implements the DNN perspective-shift filter (reference
+python/ICET_spherical.py:288-390): sample a fixed number of points per voxel
+from each scan, ask the bias network for the voxel's true inter-scan
+translation, and reject voxels where ICET's own mean-residual disagrees with
+the network beyond a threshold (those voxels' residuals are dominated by
+perspective shift, not motion).
+
+The reference runs the filter every iteration past ``start_filter_iter`` with
+host-side numpy shuffling per voxel (ICET_spherical.py:303-312, an eager
+host<->device ping-pong).  Here the filter runs ONCE at the iteration
+boundary as a jitted pass — rejection sets are stable across late
+iterations — and the sampling is a dense sort-and-slice with no raggedness.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from icet_tpu.config import ICETConfig
+from icet_tpu.models.bias_net import BiasNet, pack_voxel_samples
+from icet_tpu.ops.clustering import membership
+from icet_tpu.ops.geometry import cart_to_spherical, transform_points
+from icet_tpu.ops.grid import voxel_ids
+from icet_tpu.solver import (
+    RegistrationResult,
+    VoxelModel,
+    prepare_reference,
+    register,
+)
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def sample_voxel_points(
+    points: jax.Array,
+    vid: jax.Array,
+    member: jax.Array,
+    n_voxels: int,
+    n_samples: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Fixed-size per-voxel point samples, dense: ``(V+1, S, 3)``.
+
+    Sorts point indices by voxel id and slices S per voxel (cycling within
+    the voxel when it holds fewer than S points) — replaces the reference's
+    per-voxel host-side shuffles (ICET_spherical.py:303-312).
+    """
+    n = points.shape[0]
+    vidm = jnp.where(member, vid, n_voxels).astype(jnp.int32)
+    order = jnp.argsort(vidm)
+    counts = jax.ops.segment_sum(
+        jnp.ones_like(vidm, jnp.int32), vidm, num_segments=n_voxels + 1
+    )
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
+    )
+    within = jnp.arange(n_samples, dtype=jnp.int32)[None, :] % jnp.maximum(
+        counts, 1
+    )[:, None]
+    take = jnp.clip(offsets[:, None] + within, 0, n - 1)
+    samples = points[order[take]]
+    return samples, counts
+
+
+class DnnFilterResult(NamedTuple):
+    keep: jax.Array  # (V+1,) voxels NOT rejected
+    dnn_shift: jax.Array  # (V+1, 3) network-estimated voxel translations
+    icet_shift: jax.Array  # (V+1, 3) mean-residual shift used for comparison
+    n_rejected: jax.Array
+
+
+def dnn_reject_mask(
+    bias_net: BiasNet,
+    params,
+    model: VoxelModel,
+    scan1: jax.Array,
+    scan2_aligned: jax.Array,
+    cfg: ICETConfig,
+    refine_steps: int = 2,
+) -> DnnFilterResult:
+    """Compute the keep-mask for voxels whose ICET residual disagrees with
+    the bias network's translation estimate (reference
+    ICET_spherical.py:324-383, incl. the 2-pass iterative refinement at
+    :324-336)."""
+    S = cfg.dnn_sample_pts
+
+    def per_scan(points):
+        rtp = cart_to_spherical(points)
+        vid = voxel_ids(rtp, cfg)
+        member = membership(
+            vid, rtp[..., 0], rtp[..., 0] >= cfg.min_range, model.bounds,
+            cfg.n_voxels,
+        )
+        return sample_voxel_points(points, vid, member, cfg.n_voxels, S)
+
+    s1, n1 = per_scan(scan1)
+    s2, n2 = per_scan(scan2_aligned)
+
+    mu1 = jnp.mean(s1, axis=-2)
+    mu2 = jnp.mean(s2, axis=-2)
+    icet_shift = mu2 - mu1
+
+    # Iterative refinement: shift sample 1 by the running estimate and
+    # re-predict (reference ICET_spherical.py:324-336).
+    shift = jnp.zeros_like(icet_shift)
+    for _ in range(refine_steps):
+        inputs = pack_voxel_samples(s1 + shift[:, None, :], s2)
+        shift = shift + bias_net.apply(params, inputs)
+
+    # Compare in the extended-axis-suppressed frame, rotated back to xyz
+    # (reference it_compact_xyz / dnn_compact_xyz, ICET_spherical.py:355-367).
+    P = model.lmask[:, :, None] * jnp.swapaxes(model.basis, -1, -2)
+    proj = jnp.matmul(model.basis, P, precision=_HI)  # U diag(l) U^T
+    diff = jnp.einsum(
+        "vij,vj->vi", proj, icet_shift - shift, precision=_HI
+    )
+    candidates = model.valid & (n1 >= cfg.min_pts) & (n2 >= cfg.min_pts)
+    bad = candidates & jnp.any(jnp.abs(diff) > cfg.dnn_thresh, axis=-1)
+    return DnnFilterResult(
+        keep=~bad,
+        dnn_shift=shift,
+        icet_shift=icet_shift,
+        n_rejected=jnp.sum(bad.astype(jnp.int32)),
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def register_pair_with_dnn(
+    scan1: jax.Array,
+    scan2: jax.Array,
+    x0: jax.Array,
+    cfg: ICETConfig,
+    bias_net: BiasNet,
+    params,
+) -> tuple[RegistrationResult, DnnFilterResult]:
+    """Registration with the DNN perspective-shift filter engaged.
+
+    Phase 1 runs ``dnn_start_iter`` plain iterations; the filter then rejects
+    disagreeing voxels once, and phase 2 finishes the remaining iterations
+    with those voxels masked out of the correspondence set.
+    """
+    n_pre = min(cfg.dnn_start_iter, cfg.n_iters)
+    n_post = max(cfg.n_iters - n_pre, 1)
+
+    model = prepare_reference(scan1, cfg)
+    pre = register(model, scan2, x0, cfg.replace(n_iters=n_pre))
+    aligned = transform_points(scan2, pre.X)
+    filt = dnn_reject_mask(bias_net, params, model, scan1, aligned, cfg)
+    post = register(
+        model, scan2, pre.X, cfg.replace(n_iters=n_post), corr_mask=filt.keep
+    )
+    return post, filt

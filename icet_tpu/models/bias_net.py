@@ -1,0 +1,162 @@
+"""Perspective-shift bias network — the framework's DNN model family.
+
+The reference ships a trained Keras SavedModel (``KITTINet100.kmod``, loaded
+at python/ICET_spherical.py:44) whose weights file is stripped from the repo
+(.MISSING_LARGE_BLOBS); only the architecture survives in keras_metadata:
+[B, 200, 3] input -> conv stack (256/256/512/1024 + BatchNorm) -> maxpool ->
+dense 1024/1024/512/512/256 -> 3-DOF translation, Adam + MAE.
+
+This is a TPU-idiomatic redesign of that capability, not a port: a
+PointNet-style permutation-invariant encoder (shared per-point MLP -> masked
+max-pool -> dense head) sized so every matmul tiles cleanly onto the MXU.
+Each voxel's input is the concatenation of S points sampled from each scan
+plus a scan-id channel; the output is the predicted inter-scan translation of
+that voxel's surface, used by the solver's disagreement filter
+(reference ICET_spherical.py:288-390).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+import optax
+
+
+class BiasNet(nn.Module):
+    """Per-voxel translation regressor over two point samples.
+
+    Input: (B, 2*S, 4) — xyz (centred per voxel) + scan-id channel in
+    {-1, +1}.  Output: (B, 3) translation estimate (scan1 -> scan2).
+    """
+
+    features: tuple = (64, 128, 256)
+    head: tuple = (128, 64)
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = x
+        for f in self.features:
+            h = nn.Dense(f, dtype=jnp.float32)(h)
+            h = nn.LayerNorm()(h)
+            h = nn.relu(h)
+        # Permutation-invariant pooling over the point axis.
+        pooled = jnp.max(h, axis=-2)
+        g = pooled
+        for f in self.head:
+            g = nn.Dense(f)(g)
+            g = nn.relu(g)
+        return nn.Dense(3)(g)
+
+
+def pack_voxel_samples(sample1: jax.Array, sample2: jax.Array) -> jax.Array:
+    """Build the network input from two (B, S, 3) point samples.
+
+    Points are centred on the joint mean (translation invariance of the
+    encoder; the target is the RELATIVE shift) and tagged with a scan-id
+    channel.
+    """
+    both = jnp.concatenate([sample1, sample2], axis=-2)
+    center = jnp.mean(both, axis=-2, keepdims=True)
+    both = both - center
+    s = sample1.shape[-2]
+    tag = jnp.concatenate(
+        [
+            -jnp.ones(sample1.shape[:-1] + (1,), sample1.dtype),
+            jnp.ones(sample2.shape[:-1] + (1,), sample2.dtype),
+        ],
+        axis=-2,
+    )
+    del s
+    return jnp.concatenate([both, tag], axis=-1)
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: optax.OptState
+    step: jax.Array
+
+
+def create_train_state(key, lr: float = 1e-3, sample_pts: int = 100):
+    model = BiasNet()
+    params = model.init(key, jnp.zeros((1, 2 * sample_pts, 4)))
+    tx = optax.adam(lr)
+    return model, tx, TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+
+
+def mae_loss(model: BiasNet, params, inputs, targets):
+    """Mean absolute error, the reference's training loss (keras_metadata)."""
+    pred = model.apply(params, inputs)
+    return jnp.mean(jnp.abs(pred - targets))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def train_step(model: BiasNet, tx, state: TrainState, inputs, targets):
+    loss, grads = jax.value_and_grad(
+        lambda p: mae_loss(model, p, inputs, targets)
+    )(state.params)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, state.step + 1), loss
+
+
+# ---------------------------------------------------------------------------
+# Synthetic training data: surface patches observed twice with a known shift
+# and density/perspective mismatch (the failure mode the filter detects).
+# ---------------------------------------------------------------------------
+
+
+def make_patch_batch(key, batch: int = 256, sample_pts: int = 100):
+    """Random oriented planar patches sampled twice.
+
+    Sample 1 and sample 2 draw DIFFERENT subsets/densities from the same
+    patch; sample 2 is additionally translated by the target.  Mimics
+    inter-scan resampling + the perspective-induced support shift (different
+    visible extent per scan).
+    """
+    ks = jax.random.split(key, 8)
+    # Patch frame: random orientation, random in-plane extents.
+    normal = jax.random.normal(ks[0], (batch, 3))
+    normal = normal / jnp.linalg.norm(normal, axis=-1, keepdims=True)
+    a = jnp.cross(normal, jnp.array([0.0, 0.0, 1.0]) + 1e-3)
+    a = a / jnp.linalg.norm(a, axis=-1, keepdims=True)
+    b = jnp.cross(normal, a)
+    ext = jax.random.uniform(ks[1], (batch, 2), minval=0.2, maxval=2.0)
+
+    def draw(k, shift_frac):
+        u = jax.random.uniform(k, (batch, sample_pts, 2), minval=-1.0, maxval=1.0)
+        # Perspective shift: each scan sees a slightly different window of
+        # the surface.
+        u = u * (1.0 - jnp.abs(shift_frac)) + shift_frac
+        pts = (
+            u[..., :1] * ext[:, None, :1] * a[:, None, :]
+            + u[..., 1:] * ext[:, None, 1:] * b[:, None, :]
+        )
+        noise = 0.02 * jax.random.normal(jax.random.fold_in(k, 1), pts.shape)
+        return pts + noise * normal[:, None, :]
+
+    window = jax.random.uniform(ks[2], (batch, 1, 1), minval=-0.4, maxval=0.4)
+    s1 = draw(ks[3], jnp.zeros_like(window))
+    s2 = draw(ks[4], window)
+    target = jax.random.uniform(ks[5], (batch, 3), minval=-0.3, maxval=0.3)
+    s2 = s2 + target[:, None, :]
+    return pack_voxel_samples(s1, s2), target
+
+
+def train_bias_net(
+    key=None, steps: int = 300, batch: int = 256, sample_pts: int = 100, lr=1e-3
+):
+    """Train a BiasNet on synthetic patches; returns (model, params, losses)."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    k0, key = jax.random.split(key)
+    model, tx, state = create_train_state(k0, lr, sample_pts)
+    losses = []
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        inputs, targets = make_patch_batch(sub, batch, sample_pts)
+        state, loss = train_step(model, tx, state, inputs, targets)
+        losses.append(float(loss))
+    return model, state.params, losses

@@ -222,6 +222,7 @@ def _iteration(
     it,
     cfg: ICETConfig,
     axis_name: str | None = None,
+    corr_mask: jax.Array | None = None,
 ):
     p2 = transform_points(scan2, X)
     rtp2 = cart_to_spherical(p2)
@@ -241,6 +242,10 @@ def _iteration(
     )
 
     corr = model.valid & (m2.count >= cfg.min_pts)
+    if corr_mask is not None:
+        # External per-voxel rejection (e.g. the DNN perspective-shift
+        # filter, reference ICET_spherical.py:380-383).
+        corr = corr & corr_mask
 
     # P = diag(l) U^T: compact (eigenbasis, extended-axis-masked) projector.
     P = model.lmask[:, :, None] * jnp.swapaxes(model.basis, -1, -2)
@@ -322,6 +327,7 @@ def register(
     x0: jax.Array,
     cfg: ICETConfig,
     axis_name: str | None = None,
+    corr_mask: jax.Array | None = None,
 ) -> RegistrationResult:
     """Solve for the 6-DOF transform aligning scan 2 to the voxel model.
 
@@ -334,7 +340,7 @@ def register(
     def body(carry, it):
         X, _, _, _ = carry
         X_new, pred_stds, Q, corr, diag = _iteration(
-            model, scan2, X, it, cfg, axis_name
+            model, scan2, X, it, cfg, axis_name, corr_mask
         )
         return (X_new, pred_stds, Q, corr), diag
 

@@ -1,0 +1,112 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from icet_tpu.config import ICETConfig
+from icet_tpu.datasets.synthetic import scan_pair_with_ground_truth
+from icet_tpu.filters import (
+    dnn_reject_mask,
+    register_pair_with_dnn,
+    sample_voxel_points,
+)
+from icet_tpu.models.bias_net import (
+    BiasNet,
+    create_train_state,
+    make_patch_batch,
+    pack_voxel_samples,
+    train_bias_net,
+    train_step,
+)
+from icet_tpu.solver import prepare_reference_jit, register_pair
+
+CFG = ICETConfig(
+    n_theta=48,
+    n_phi=16,
+    phi_min=np.pi / 3,
+    phi_max=2 * np.pi / 3,
+    n_iters=6,
+    min_pts=20,
+    min_range=1.0,
+    dnn_start_iter=3,
+    dnn_sample_pts=32,
+)
+
+
+def test_bias_net_shapes():
+    model = BiasNet()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((4, 64, 4)))
+    out = model.apply(params, jnp.zeros((4, 64, 4)))
+    assert out.shape == (4, 3)
+
+
+def test_pack_voxel_samples_invariance():
+    rng = np.random.default_rng(0)
+    s1 = jnp.asarray(rng.normal(size=(5, 16, 3)).astype(np.float32))
+    s2 = jnp.asarray(rng.normal(size=(5, 16, 3)).astype(np.float32))
+    packed = pack_voxel_samples(s1, s2)
+    assert packed.shape == (5, 32, 4)
+    # Joint translation cancels out.
+    packed_shifted = pack_voxel_samples(s1 + 5.0, s2 + 5.0)
+    np.testing.assert_allclose(
+        np.asarray(packed), np.asarray(packed_shifted), atol=1e-5
+    )
+    # Scan-id channel is -1 for sample 1, +1 for sample 2.
+    np.testing.assert_allclose(np.asarray(packed[..., :16, 3]), -1.0)
+    np.testing.assert_allclose(np.asarray(packed[..., 16:, 3]), 1.0)
+
+
+def test_train_step_decreases_loss():
+    model, tx, state = create_train_state(jax.random.PRNGKey(0), sample_pts=32)
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(40):
+        key, sub = jax.random.split(key)
+        inputs, targets = make_patch_batch(sub, batch=128, sample_pts=32)
+        state, loss = train_step(model, tx, state, inputs, targets)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.7, losses[::10]
+
+
+@pytest.fixture(scope="module")
+def trained():
+    model, params, losses = train_bias_net(
+        steps=120, batch=128, sample_pts=CFG.dnn_sample_pts
+    )
+    assert losses[-1] < losses[0]
+    return model, params
+
+
+def test_sample_voxel_points_dense():
+    rng = np.random.default_rng(1)
+    pts = jnp.asarray(rng.normal(size=(200, 3)).astype(np.float32))
+    vid = jnp.asarray(rng.integers(0, 4, 200).astype(np.int32))
+    member = jnp.ones(200, bool)
+    samples, counts = sample_voxel_points(pts, vid, member, 4, 16)
+    assert samples.shape == (5, 16, 3)
+    # Every sample row of voxel v is an actual voxel-v point.
+    vset = {tuple(p) for p in np.asarray(pts)[np.asarray(vid) == 2]}
+    for p in np.asarray(samples)[2]:
+        assert tuple(p) in vset
+
+
+def test_dnn_filter_end_to_end(trained):
+    model, params = trained
+    X_true = np.array([0.3, 0.1, 0.0, 0.0, 0.0, 0.01], np.float32)
+    scan1, scan2 = scan_pair_with_ground_truth(X_true, seed=5)
+    res, filt = register_pair_with_dnn(
+        jnp.asarray(scan1), jnp.asarray(scan2), jnp.zeros(6), CFG, model, params
+    )
+    # The solve must stay healthy with the filter engaged.
+    np.testing.assert_allclose(np.asarray(res.X)[:3], X_true[:3], atol=0.05)
+    n_rej = int(filt.n_rejected)
+    n_valid = int(np.asarray(
+        prepare_reference_jit(jnp.asarray(scan1), CFG).valid
+    ).sum())
+    assert 0 <= n_rej < n_valid  # filter must not reject everything
+
+    # Plain registration for comparison: similar answer.
+    plain = register_pair(jnp.asarray(scan1), jnp.asarray(scan2), jnp.zeros(6), CFG)
+    np.testing.assert_allclose(
+        np.asarray(res.X), np.asarray(plain.X), atol=0.05
+    )
