@@ -28,8 +28,10 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # Function-scoped: every test draws the same deterministic stream
+    # regardless of execution order.
     return np.random.default_rng(42)
 
 
