@@ -12,9 +12,8 @@ def test_c2s_s2c_roundtrip(rng):
     back = geo.spherical_to_cart(rtp)
     # f32 trig roundtrip: error scales with radius.
     r = np.linalg.norm(pts, axis=1, keepdims=True)
-    np.testing.assert_array_less(
-        np.abs(np.asarray(back) - pts), 1e-5 * r + 1e-4
-    )
+    bound = np.broadcast_to(1e-5 * r + 1e-4, pts.shape)
+    np.testing.assert_array_less(np.abs(np.asarray(back) - pts), bound)
 
 
 def test_c2s_conventions():
