@@ -1,0 +1,104 @@
+"""Native host-runtime tests (C extension: loaders + prefetch queue)."""
+
+import numpy as np
+import pytest
+
+from icet_tpu.native import NativeReplaySource, ensure_built
+
+native = ensure_built(quiet=True)
+pytestmark = pytest.mark.skipif(
+    native is None, reason="no C toolchain to build the native extension"
+)
+
+
+def test_load_npy_f8(tmp_path, rng):
+    pts = rng.normal(size=(120, 3))
+    p = tmp_path / "a.npy"
+    np.save(p, pts)
+    arr, n = native.load_cloud(str(p), 256)
+    assert arr.shape == (256, 3) and arr.dtype == np.float32
+    assert n == 120
+    np.testing.assert_allclose(arr[:120], pts.astype(np.float32), atol=1e-6)
+    np.testing.assert_allclose(arr[120:], 0.0)
+
+
+def test_load_npy_f4_truncates(tmp_path, rng):
+    pts = rng.normal(size=(300, 3)).astype(np.float32)
+    p = tmp_path / "b.npy"
+    np.save(p, pts)
+    arr, n = native.load_cloud(str(p), 100)
+    assert n == 100
+    np.testing.assert_allclose(arr, pts[:100])
+
+
+def test_load_bin(tmp_path, rng):
+    raw = rng.normal(size=(77, 4)).astype(np.float32)
+    p = tmp_path / "c.bin"
+    raw.tofile(p)
+    arr, n = native.load_cloud(str(p), 128)
+    assert n == 77
+    np.testing.assert_allclose(arr[:77], raw[:, :3])
+
+
+def test_load_reference_sample_matches_python():
+    from icet_tpu.datasets.loaders import load_npy
+
+    path = "/root/reference/src/sample_data/frame_804.npy"
+    arr, n = native.load_cloud(path, 65536)
+    ref = load_npy(path, 65536)
+    assert n == 65536
+    np.testing.assert_allclose(arr, ref)
+
+
+def test_load_errors(tmp_path):
+    p = tmp_path / "bad.npy"
+    p.write_bytes(b"not numpy at all")
+    with pytest.raises(IOError):
+        native.load_cloud(str(p), 10)
+    with pytest.raises(IOError):
+        native.load_cloud(str(tmp_path / "missing.npy"), 10)
+
+
+def test_prefetcher_ordered(tmp_path, rng):
+    n_frames = 9
+    clouds = []
+    for i in range(n_frames):
+        c = rng.normal(size=(50 + i, 3)).astype(np.float32)
+        np.save(tmp_path / f"{i:03d}.npy", c)
+        clouds.append(c)
+    src = NativeReplaySource(str(tmp_path), max_points=64, n_threads=3, depth=3)
+    got = list(src)
+    assert len(got) == n_frames
+    for i, arr in enumerate(got):
+        np.testing.assert_allclose(arr[: 50 + i], clouds[i])
+
+
+def test_prefetcher_loop_repeat(tmp_path, rng):
+    for i in range(2):
+        np.save(tmp_path / f"{i}.npy", rng.normal(size=(10, 3)))
+    src = NativeReplaySource(
+        str(tmp_path), max_points=16, loop=True, repeat=3
+    )
+    assert len(list(src)) == 6
+
+
+def test_prefetcher_feeds_solver(tmp_path):
+    """End-to-end: native ingest queue -> odometry pipeline."""
+    from icet_tpu.config import ICETConfig
+    from icet_tpu.datasets.synthetic import simulate_scan
+    from icet_tpu.odometry import OdometryPipeline
+
+    for i in range(3):
+        scan = simulate_scan(
+            pose_t=np.array([0.2 * i, 0.0, 0.0]), seed=i, n_beams=16,
+            n_azimuth=128,
+        )
+        np.save(tmp_path / f"{i:03d}.npy", scan)
+    cfg = ICETConfig(
+        n_theta=24, n_phi=8, phi_min=np.pi / 3, phi_max=2 * np.pi / 3,
+        n_iters=3, min_pts=10, min_range=1.0,
+    )
+    src = NativeReplaySource(str(tmp_path), max_points=16 * 128)
+    frames = list(OdometryPipeline(cfg).run(src))
+    assert len(frames) == 2
+    assert all(np.isfinite(f.X).all() for f in frames)

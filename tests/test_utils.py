@@ -1,0 +1,179 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from icet_tpu.config import ICETConfig
+from icet_tpu.utils.checkpoint import (
+    load_checkpoint,
+    map_state,
+    odometry_state,
+    restore_map,
+    restore_odometry,
+    save_checkpoint,
+)
+from icet_tpu.utils.metrics import (
+    FrameMetrics,
+    MetricsLog,
+    _rot_to_quat,
+    ate_rmse,
+    rpe,
+    save_tum,
+)
+from icet_tpu.utils.profiling import StageTimer, device_time_ms
+
+
+def _pose(t, yaw):
+    T = np.eye(4)
+    c, s = np.cos(yaw), np.sin(yaw)
+    T[:3, :3] = [[c, -s, 0], [s, c, 0], [0, 0, 1]]
+    T[:3, 3] = t
+    return T
+
+
+def test_ate_zero_for_identical():
+    poses = [_pose([i, 0, 0], 0.01 * i) for i in range(5)]
+    assert ate_rmse(poses, poses) == 0.0
+
+
+def test_ate_known_offset():
+    ref = [_pose([i, 0, 0], 0) for i in range(4)]
+    est = [_pose([i, 0.1 * (i > 0), 0], 0) for i in range(4)]
+    assert ate_rmse(est, ref) == pytest.approx(np.sqrt(3 * 0.01 / 4))
+
+
+def test_rpe_detects_step_error():
+    ref = [_pose([i, 0, 0], 0) for i in range(4)]
+    est = [_pose([i * 1.1, 0, 0], 0) for i in range(4)]
+    t_err, r_err = rpe(est, ref)
+    np.testing.assert_allclose(t_err, 0.1, atol=1e-9)
+    np.testing.assert_allclose(r_err, 0.0, atol=1e-9)
+
+
+def test_quat_roundtrip(rng):
+    from icet_tpu.ops.geometry import euler_R
+
+    for i in range(10):
+        R = np.asarray(euler_R(jnp.asarray(rng.uniform(-2, 2, 3).astype(np.float32))))
+        q = _rot_to_quat(R)
+        assert np.linalg.norm(q) == pytest.approx(1.0, abs=1e-5)
+        # Rebuild rotation from quaternion and compare.
+        x, y, z, w = q
+        R2 = np.array(
+            [
+                [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+                [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+                [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+            ]
+        )
+        np.testing.assert_allclose(R2, R, atol=1e-5)
+
+
+def test_save_tum(tmp_path):
+    poses = [_pose([i, 0, 0], 0.1 * i) for i in range(3)]
+    p = tmp_path / "traj.tum"
+    save_tum(str(p), poses)
+    rows = np.loadtxt(p)
+    assert rows.shape == (3, 8)
+    np.testing.assert_allclose(rows[:, 1], [0, 1, 2])
+
+
+def test_metrics_log(tmp_path):
+    import json
+
+    class FakeDiag:
+        n_corr = np.array([10, 20])
+        condition = np.array([5.0, 4.0])
+        n_dropped_axes = np.array([0, 0])
+        n_rejected_moving = np.array([0, 1])
+        dx_norm = np.array([0.5, 0.01])
+
+    class FakeRes:
+        X = np.zeros(6)
+        pred_stds = np.ones(6)
+        diagnostics = FakeDiag()
+
+    m = FrameMetrics.from_result(3, FakeRes(), solve_ms=1.5)
+    path = tmp_path / "metrics.jsonl"
+    log = MetricsLog(str(path))
+    log.log(m)
+    log.close()
+    rec = json.loads(path.read_text().strip())
+    assert rec["index"] == 3 and rec["n_corr"] == 20
+    assert rec["n_rejected_moving"] == 1
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = {
+        "a": np.arange(6, dtype=np.float32),
+        "nested": {"b": np.eye(3), "c": np.int32(7)},
+    }
+    p = str(tmp_path / "ckpt.npz")
+    save_checkpoint(p, state)
+    back = load_checkpoint(p)
+    np.testing.assert_allclose(back["a"], state["a"])
+    np.testing.assert_allclose(back["nested"]["b"], np.eye(3))
+    assert back["nested"]["c"] == 7
+
+
+def test_odometry_checkpoint_resume(tmp_path):
+    from icet_tpu.datasets.synthetic import simulate_scan
+    from icet_tpu.odometry import OdometryPipeline
+
+    cfg = ICETConfig(
+        n_theta=24, n_phi=8, phi_min=np.pi / 3, phi_max=2 * np.pi / 3,
+        n_iters=3, min_pts=10, min_range=1.0,
+    )
+    scans = [simulate_scan(pose_t=np.array([0.2 * i, 0, 0]), seed=i,
+                           n_beams=16, n_azimuth=128) for i in range(4)]
+    pipe = OdometryPipeline(cfg)
+    for s in scans[:2]:
+        pipe.step(s)
+    p = str(tmp_path / "odo.npz")
+    save_checkpoint(p, odometry_state(pipe))
+
+    pipe2 = OdometryPipeline(cfg)
+    restore_odometry(pipe2, load_checkpoint(p))
+    np.testing.assert_allclose(pipe2.trajectory_pose, pipe.trajectory_pose)
+    assert pipe2._index == pipe._index
+    # Resumed pipeline keeps processing.
+    pipe2.step(scans[2])
+    f = pipe2.step(scans[3])
+    assert f is not None and np.isfinite(f.X).all()
+
+
+def test_map_checkpoint_resume(tmp_path):
+    from icet_tpu.config import MapConfig
+    from icet_tpu.datasets.synthetic import simulate_scan
+    from icet_tpu.mapping import MapMaker
+
+    cfg = ICETConfig(
+        n_theta=24, n_phi=8, phi_min=np.pi / 3, phi_max=2 * np.pi / 3,
+        n_iters=3, min_pts=10, min_range=1.0,
+    )
+    mm = MapMaker(cfg, MapConfig(capacity=5000, points_per_scan=500))
+    for i in range(2):
+        mm.step(simulate_scan(seed=i, n_beams=16, n_azimuth=128))
+    p = str(tmp_path / "map.npz")
+    save_checkpoint(p, map_state(mm))
+
+    mm2 = MapMaker(cfg, MapConfig(capacity=5000, points_per_scan=500))
+    restore_map(mm2, load_checkpoint(p))
+    np.testing.assert_allclose(mm2.map_points(), mm.map_points())
+
+
+def test_stage_timer():
+    t = StageTimer()
+    with t.stage("x"):
+        pass
+    with t.stage("x"):
+        pass
+    s = t.summary()
+    assert s["x"]["n"] == 2 and s["x"]["mean_ms"] >= 0
+
+
+def test_device_time_ms():
+    import jax
+
+    f = jax.jit(lambda x: x * 2 + 1)
+    ms = device_time_ms(f, jnp.ones(128), inner=5, trials=2)
+    assert 0 < ms < 1000
