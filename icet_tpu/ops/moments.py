@@ -116,6 +116,10 @@ def voxel_moment_sums(
     feats = _point_features(g, member)
     if method == "onehot":
         return _accumulate_onehot(feats, vid, n_voxels, block)
+    if method == "pallas":
+        from icet_tpu.ops.pallas_moments import pallas_moment_sums
+
+        return pallas_moment_sums(vid, feats, n_voxels, block)
     return _accumulate_segsum(feats, vid, n_voxels)
 
 

@@ -21,7 +21,7 @@ def _run(points, vid, member, anchors=None, method="segsum"):
     )
 
 
-@pytest.mark.parametrize("method", ["segsum", "onehot"])
+@pytest.mark.parametrize("method", ["segsum", "onehot", "pallas"])
 def test_against_oracle(rng, method):
     n = 3000
     points = rng.normal(size=(n, 3)).astype(np.float32) * 5
@@ -37,7 +37,7 @@ def test_against_oracle(rng, method):
     np.testing.assert_allclose(np.asarray(m.cov)[:V][sel2], cov[:V][sel2], atol=1e-4)
 
 
-@pytest.mark.parametrize("method", ["segsum", "onehot"])
+@pytest.mark.parametrize("method", ["segsum", "onehot", "pallas"])
 def test_precision_far_from_origin(rng, method):
     """The reason for anchored accumulation: a tight (1 cm) cluster 100 m out
     must yield an accurate covariance in f32 — naive E[xx]-E[x]^2 math loses
