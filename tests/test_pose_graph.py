@@ -1,0 +1,149 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from icet_tpu.ops.geometry import pose_matrix, pose_to_state
+from icet_tpu.pose_graph import (
+    PoseGraph,
+    _factor_residual,
+    detect_loop_candidates,
+    graph_from_odometry,
+    optimize_poses,
+    poses_to_states,
+    states_to_poses,
+)
+
+
+def _rel_state(xw_i, xw_j):
+    """Ground-truth relative state between two world states."""
+    Ti = np.asarray(pose_matrix(jnp.asarray(xw_i)))
+    Tj = np.asarray(pose_matrix(jnp.asarray(xw_j)))
+    rel = np.linalg.inv(Ti) @ Tj
+    return np.asarray(pose_to_state(jnp.asarray(rel)))
+
+
+def _make_circle(K=12, radius=5.0):
+    """World states on a circle with heading tangent to it."""
+    states = []
+    for k in range(K):
+        a = 2 * np.pi * k / K * 0.9  # not fully closed
+        t = np.array([radius * np.cos(a), radius * np.sin(a), 0.0])
+        states.append(np.concatenate([t, [0.0, 0.0, -a]]).astype(np.float32))
+    return np.stack(states)
+
+
+def test_factor_residual_zero_on_truth():
+    s = _make_circle()
+    for k in range(len(s) - 1):
+        meas = _rel_state(s[k], s[k + 1])
+        r = np.asarray(
+            _factor_residual(jnp.asarray(s[k]), jnp.asarray(s[k + 1]),
+                             jnp.asarray(meas))
+        )
+        np.testing.assert_allclose(r, 0.0, atol=1e-5)
+
+
+def _noisy_graph(states_true, rng, t_noise=0.05, a_noise=0.005, loops=()):
+    K = len(states_true)
+    idx_i, idx_j, meas, info = [], [], [], []
+    for k in range(K - 1):
+        m = np.array(_rel_state(states_true[k], states_true[k + 1]))
+        m[:3] += rng.normal(0, t_noise, 3)
+        m[3:] += rng.normal(0, a_noise, 3)
+        idx_i.append(k)
+        idx_j.append(k + 1)
+        meas.append(m)
+        info.append(np.diag([1 / t_noise**2] * 3 + [1 / a_noise**2] * 3))
+    for (i, j) in loops:
+        m = _rel_state(states_true[i], states_true[j])
+        idx_i.append(i)
+        idx_j.append(j)
+        meas.append(m)
+        info.append(np.diag([1e4] * 3 + [1e6] * 3))
+    return PoseGraph(
+        idx_i=jnp.asarray(np.asarray(idx_i, np.int32)),
+        idx_j=jnp.asarray(np.asarray(idx_j, np.int32)),
+        meas=jnp.asarray(np.stack(meas).astype(np.float32)),
+        info=jnp.asarray(np.stack(info).astype(np.float32)),
+    )
+
+
+def _integrate(graph, K):
+    """Chain the odometry factors to get the unoptimized initial guess."""
+    T = np.eye(4)
+    states = [np.zeros(6, np.float32)]
+    for k in range(K - 1):
+        T = T @ np.asarray(pose_matrix(graph.meas[k]))
+        states.append(np.asarray(pose_to_state(jnp.asarray(T))))
+    return np.stack(states).astype(np.float32)
+
+
+def test_loop_closure_reduces_error(rng):
+    s_true = _make_circle(K=12)
+    # Express truth relative to pose 0 (gauge).
+    T0 = np.asarray(pose_matrix(jnp.asarray(s_true[0])))
+    rel_true = np.stack(
+        [
+            np.asarray(pose_to_state(jnp.asarray(np.linalg.inv(T0) @
+                       np.asarray(pose_matrix(jnp.asarray(s))))))
+            for s in s_true
+        ]
+    )
+    graph = _noisy_graph(s_true, rng, loops=[(0, 11), (1, 10)])
+    states0 = _integrate(graph, 12)
+    opt = np.asarray(optimize_poses(jnp.asarray(states0), graph, 10))
+
+    err0 = np.linalg.norm(states0[:, :3] - rel_true[:, :3], axis=1)
+    err1 = np.linalg.norm(opt[:, :3] - rel_true[:, :3], axis=1)
+    # Gauge pinned.
+    np.testing.assert_allclose(opt[0], states0[0], atol=1e-3)
+    # Loop closure must pull the looped poses back substantially; mid-chain
+    # poses have no extra information, so the mean improves more modestly.
+    assert err1[-1] < err0[-1] * 0.35, (err0[-1], err1[-1])
+    assert err1.mean() < err0.mean() * 0.85
+
+
+def test_optimize_recovers_exact_graph(rng):
+    s_true = _make_circle(K=8)
+    # Noise sets the information weights too: keep them f32-friendly
+    # (1e-3 -> info 1e6; 1e-6 would put 1e12 on the normal-equation diagonal
+    # and destroy f32 conditioning).
+    graph = _noisy_graph(s_true, rng, t_noise=1e-3, a_noise=1e-3)
+    # Perturb the initial guess; exact measurements must pull it back.
+    states0 = _integrate(graph, 8)
+    noisy0 = states0 + rng.normal(0, 0.05, states0.shape).astype(np.float32)
+    noisy0[0] = states0[0]
+    opt = np.asarray(optimize_poses(jnp.asarray(noisy0), graph, 10))
+    np.testing.assert_allclose(opt, states0, atol=2e-3)
+
+
+def test_states_poses_roundtrip(rng):
+    s = rng.normal(0, 0.4, (5, 6)).astype(np.float32)
+    back = poses_to_states(states_to_poses(jnp.asarray(s)))
+    np.testing.assert_allclose(back, s, atol=1e-5)
+
+
+def test_detect_loop_candidates():
+    pos = np.zeros((30, 3))
+    pos[:, 0] = np.concatenate([np.arange(15), np.arange(15)[::-1]])
+    cands = detect_loop_candidates(pos, radius=0.5, min_gap=5)
+    assert (0, 29) in cands
+    assert all(j - i >= 5 for i, j in cands)
+
+
+def test_graph_from_odometry_frames():
+    class F:
+        def __init__(self, X, T):
+            self.X = X
+            self.pred_stds = np.full(6, 0.01, np.float32)
+            self.T_world = T
+
+    X = np.array([1, 0, 0, 0, 0, 0], np.float32)
+    T1 = np.asarray(pose_matrix(jnp.asarray(X)))
+    frames = [F(X, T1)]
+    states0, graph = graph_from_odometry(frames)
+    assert states0.shape == (2, 6)
+    np.testing.assert_allclose(states0[1], X, atol=1e-6)
+    assert graph.meas.shape == (1, 6)
+    np.testing.assert_allclose(np.asarray(graph.info)[0], np.eye(6) * 1e4)
