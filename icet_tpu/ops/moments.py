@@ -41,7 +41,6 @@ class VoxelMoments(NamedTuple):
 
 def _point_features(g: jax.Array, member: jax.Array) -> jax.Array:
     """Per-point moment features ``(N, 16)`` about the anchor offsets ``g``."""
-    m = member.astype(g.dtype)
     gx, gy, gz = g[..., 0], g[..., 1], g[..., 2]
     feats = jnp.stack(
         [
@@ -58,7 +57,10 @@ def _point_features(g: jax.Array, member: jax.Array) -> jax.Array:
         ],
         axis=-1,
     )
-    feats = feats * m[..., None]
+    # where(), not multiply-by-mask: NaN coordinates (propagated through the
+    # scan-2 transform before the range gate zeroes them) must not poison the
+    # sums via NaN * 0.
+    feats = jnp.where(member[..., None], feats, 0.0)
     pad = jnp.zeros(g.shape[:-1] + (_N_FEATURES - 10,), g.dtype)
     return jnp.concatenate([feats, pad], axis=-1)
 

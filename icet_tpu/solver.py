@@ -293,8 +293,13 @@ def _iteration(
     # dx = pinv(L2 lam U2^T) L2 U2^T (H^T W dz) collapses to the truncated
     # eigen pseudo-inverse below.
     w6, U2 = eigh_small(HTWH)  # ascending
-    cond_full = jnp.abs(w6[-1] / jnp.where(w6[0] != 0.0, w6[0], 1e-30))
-    keep = jnp.abs(w6[-1]) <= cfg.condition_cutoff * jnp.abs(w6)
+    cond_full = jnp.abs(w6[-1]) / jnp.maximum(jnp.abs(w6[0]), 1e-30)
+    # Keep axis k iff lam_max / lam_k stays under the cutoff; an all-zero
+    # spectrum (no correspondences) keeps nothing, making the update a no-op
+    # instead of 0/0 NaNs.
+    keep = (jnp.abs(w6[-1]) <= cfg.condition_cutoff * jnp.abs(w6)) & (
+        jnp.abs(w6) > 1e-30
+    )
     inv_kept = jnp.where(keep, 1.0 / jnp.where(keep, w6, 1.0), 0.0)
     dx = _mm(U2, inv_kept * _mm(U2.T, HTWdz))
 
