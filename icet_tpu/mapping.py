@@ -47,7 +47,7 @@ def init_map(map_cfg: MapConfig, trail_capacity: int = 4096) -> MapState:
     )
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5))
+@functools.partial(jax.jit, static_argnums=(4, 5), donate_argnums=(0,))
 def map_update(
     state: MapState,
     scan: jax.Array,
@@ -63,6 +63,10 @@ def map_update(
     the previous frame) is re-expressed in the new frame via the inverse
     transform, matching reference EigenQueue::add_new_scan
     (simpleMapMaker.cpp:34-41): ``p_new = R^T (p_prev - t)``.
+
+    ``state`` is DONATED: its device buffers are reused in place (the 600k x 3
+    ring would otherwise be copied every frame).  Do not read the old state
+    after calling; rebind as ``state = map_update(state, ...)``.
     """
     rot = euler_R(-X[3:6])  # p_prev = rot @ p_new + t
     # Re-express stored points and trail in the new frame.

@@ -20,7 +20,7 @@ import numpy as np
 
 from icet_tpu.config import ICETConfig, OdometryConfig
 from icet_tpu.ops.geometry import compose_pose, pose_to_state
-from icet_tpu.solver import prepare_reference_jit, register_jit
+from icet_tpu.solver import odometry_step_jit, prepare_reference_jit
 
 
 @dataclasses.dataclass
@@ -91,7 +91,8 @@ class OdometryPipeline:
             if self.odo_cfg.warm_start
             else jnp.zeros(6, jnp.float32)
         )
-        res = register_jit(self._model, scan_dev, x0, self.cfg)
+        # Fused register + next-frame prepare: one dispatch per frame.
+        res, next_model = odometry_step_jit(self._model, scan_dev, x0, self.cfg)
         X = res.X
 
         # Divergence guard (reference simpleMapMaker.cpp:129-137): a solution
@@ -103,8 +104,8 @@ class OdometryPipeline:
 
         self._T_world = compose_pose(self._T_world, X)
         self._X_prev = X
-        # Next frame registers against this scan.
-        self._model = prepare_reference_jit(scan_dev, self.cfg)
+        # Next frame registers against this scan's (already fitted) model.
+        self._model = next_model
 
         frame = OdometryFrame(
             index=self._index,

@@ -408,6 +408,19 @@ def prepare_reference_jit(scan1: jax.Array, cfg: ICETConfig) -> VoxelModel:
 
 
 @functools.partial(jax.jit, static_argnums=(3,))
+def odometry_step_jit(
+    model: VoxelModel, scan: jax.Array, x0: jax.Array, cfg: ICETConfig
+) -> tuple[RegistrationResult, VoxelModel]:
+    """Fused odometry step: register the new scan against the previous
+    frame's voxel model AND fit the new scan's own model for the next frame —
+    one device dispatch per frame instead of two (dispatch latency matters at
+    sub-100us solve times)."""
+    res = register(model, scan, x0, cfg)
+    new_model = prepare_reference(scan, cfg)
+    return res, new_model
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
 def register_jit(
     model: VoxelModel, scan2: jax.Array, x0: jax.Array, cfg: ICETConfig
 ) -> RegistrationResult:

@@ -27,6 +27,8 @@ def test_map_update_reexpression():
         np.random.default_rng(0).normal(size=(2000, 3)).astype(np.float32) * 10
     )
     state = map_update(state, scan0, jnp.zeros(6), key, MCFG, 0.2)
+    # map_update donates its state buffers: snapshot before the next call.
+    old = np.asarray(state.points[: MCFG.points_per_scan])
     X = jnp.asarray(np.array([0.5, -0.2, 0.1, 0.02, -0.01, 0.03], np.float32))
     # Insert an empty scan but move the frame by X.
     state2 = map_update(
@@ -35,7 +37,6 @@ def test_map_update_reexpression():
     from icet_tpu.ops.geometry import euler_R
 
     rot = np.asarray(euler_R(-X[3:6]))
-    old = np.asarray(state.points[:MCFG.points_per_scan])
     expected = (old - np.asarray(X[:3])) @ rot
     np.testing.assert_allclose(
         np.asarray(state2.points[:MCFG.points_per_scan]), expected, atol=1e-5
