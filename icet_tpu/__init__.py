@@ -11,9 +11,11 @@ robustness-filter layers that sit around the solver.
 from icet_tpu.config import ICETConfig, MapConfig, OdometryConfig, PROFILES
 from icet_tpu.mapping import MapMaker
 from icet_tpu.odometry import OdometryPipeline, run_odometry
+from icet_tpu.scan_matcher import ScanMatcher
 from icet_tpu.solver import (
     RegistrationResult,
     VoxelModel,
+    odometry_step_jit,
     prepare_reference,
     prepare_reference_jit,
     register,
@@ -32,7 +34,9 @@ __all__ = [
     "OdometryConfig",
     "PROFILES",
     "RegistrationResult",
+    "ScanMatcher",
     "VoxelModel",
+    "odometry_step_jit",
     "prepare_reference",
     "prepare_reference_jit",
     "register",

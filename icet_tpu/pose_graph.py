@@ -101,6 +101,30 @@ def _build_normals(states, graph: PoseGraph, prior_weight):
     return H, b.reshape(6 * K)
 
 
+def _gn_iterations(states0, graph, n_iters, damping, prior_weight, axis_name=None):
+    K = states0.shape[0]
+
+    def step(states, _):
+        H, b = _build_normals(states, graph, prior_weight)
+        if axis_name is not None:
+            # Factors are sharded across the mesh axis: one psum of the
+            # (6K, 6K) normals + rhs per iteration (the distributed
+            # pose-graph reduction of BASELINE.md's north star).
+            H = jax.lax.psum(H, axis_name)
+            b = jax.lax.psum(b, axis_name)
+            # The gauge prior was added on every shard; keep one copy.
+            n_shards = jax.lax.psum(1, axis_name)
+            extra = (n_shards - 1) * prior_weight
+            H = H.at[:6, :6].add(-extra * jnp.eye(6, dtype=H.dtype))
+        H = H + damping * jnp.trace(H) / (6 * K) * jnp.eye(6 * K, dtype=H.dtype)
+        L = jnp.linalg.cholesky(H)
+        dx = jax.scipy.linalg.cho_solve((L, True), -b)
+        return states + dx.reshape(K, 6), jnp.linalg.norm(dx)
+
+    states, _ = jax.lax.scan(step, states0, None, length=n_iters)
+    return states
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def optimize_poses(
     states0: jax.Array,
@@ -113,17 +137,55 @@ def optimize_poses(
 
     Returns the optimized (K, 6) states; pose 0 is gauge-fixed.
     """
-    K = states0.shape[0]
+    return _gn_iterations(states0, graph, n_iters, damping, prior_weight)
 
-    def step(states, _):
-        H, b = _build_normals(states, graph, prior_weight)
-        H = H + damping * jnp.trace(H) / (6 * K) * jnp.eye(6 * K, dtype=H.dtype)
-        L = jnp.linalg.cholesky(H)
-        dx = jax.scipy.linalg.cho_solve((L, True), -b)
-        return states + dx.reshape(K, 6), jnp.linalg.norm(dx)
 
-    states, dx_norms = jax.lax.scan(step, states0, None, length=n_iters)
-    return states
+def optimize_poses_sharded(
+    states0,
+    graph: PoseGraph,
+    mesh,
+    n_iters: int = 10,
+    damping: float = 1e-6,
+    prior_weight: float = 1e8,
+):
+    """Factor-parallel pose-graph optimization over a device mesh.
+
+    Factors are sharded across the mesh's first axis; states replicate.  Each
+    device assembles its shard's block normal equations and one psum per GN
+    iteration produces the global system (solved redundantly everywhere —
+    the 6Kx6K Cholesky is microseconds for trajectories of thousands of
+    poses).  Pad ``graph`` factors to a multiple of the axis size with
+    zero-information factors if needed.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    n_shards = mesh.shape[axis]
+    F = graph.idx_i.shape[0]
+    pad = (-F) % n_shards
+    if pad:
+        graph = PoseGraph(
+            idx_i=jnp.concatenate([graph.idx_i, jnp.zeros(pad, jnp.int32)]),
+            idx_j=jnp.concatenate([graph.idx_j, jnp.zeros(pad, jnp.int32)]),
+            meas=jnp.concatenate([graph.meas, jnp.zeros((pad, 6), graph.meas.dtype)]),
+            info=jnp.concatenate([graph.info, jnp.zeros((pad, 6, 6), graph.info.dtype)]),
+        )
+
+    fn = shard_map(
+        functools.partial(
+            _gn_iterations,
+            n_iters=n_iters,
+            damping=damping,
+            prior_weight=prior_weight,
+            axis_name=axis,
+        ),
+        mesh=mesh,
+        in_specs=(P(), PoseGraph(P(axis), P(axis), P(axis), P(axis))),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(fn)(states0, graph)
 
 
 def states_to_poses(states) -> np.ndarray:

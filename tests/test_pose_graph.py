@@ -132,6 +132,27 @@ def test_detect_loop_candidates():
     assert all(j - i >= 5 for i, j in cands)
 
 
+def test_sharded_matches_single_device(rng):
+    """Factor-sharded optimization over the CPU mesh must reproduce the
+    single-device result (one psum of the normals per GN iteration)."""
+    import jax
+    from jax.experimental import mesh_utils
+    from jax.sharding import Mesh
+
+    from icet_tpu.pose_graph import optimize_poses_sharded
+
+    s_true = _make_circle(K=10)
+    graph = _noisy_graph(s_true, rng, loops=[(0, 9)])
+    states0 = _integrate(graph, 10)
+
+    single = np.asarray(optimize_poses(jnp.asarray(states0), graph, 6))
+    mesh = Mesh(mesh_utils.create_device_mesh((5,), jax.devices()[:5]), ("f",))
+    sharded = np.asarray(
+        optimize_poses_sharded(jnp.asarray(states0), graph, mesh, 6)
+    )
+    np.testing.assert_allclose(sharded, single, atol=2e-4)
+
+
 def test_graph_from_odometry_frames():
     class F:
         def __init__(self, X, T):
