@@ -42,6 +42,16 @@ class ICETConfig:
     phi_min: float = 0.0
     phi_max: float = math.pi
 
+    # ---- radial voxelization mode -------------------------------------------
+    #: "adaptive": per-spike radial clustering (the ICET shadow-mitigation
+    #: voxel, reference findCluster / get_cluster_fast) — the default.
+    #: "fixed": regular radial shells with geometric spacing (the reference's
+    #: grid_spherical NDT-style grid, ICET_spherical.py:1206-1234, used by its
+    #: dead "group=1" path) — one voxel per (shell, theta, phi).
+    radial_mode: str = "adaptive"
+    #: number of radial shells in "fixed" mode (reference fid_r = fid)
+    n_shells: int = 50
+
     # ---- radial clustering (shadow-mitigation voxels) -----------------------
     #: minimum points for a radial run to count as a cluster, and for a voxel
     #: to participate in the solve (reference n=25, src/odometry.cpp:75)
@@ -104,7 +114,20 @@ class ICETConfig:
 
     @property
     def n_voxels(self) -> int:
+        if self.radial_mode == "fixed":
+            return self.n_shells * self.n_theta * self.n_phi
         return self.n_theta * self.n_phi
+
+    @property
+    def n_angular(self) -> int:
+        """Voxels per radial shell (= all voxels in adaptive mode)."""
+        return self.n_theta * self.n_phi
+
+    @property
+    def shell_growth(self) -> float:
+        """Geometric shell spacing factor making cells ~cubic (reference
+        ICET_spherical.py:1230: r_new = r_last * (1 + atan(2*pi/fid_theta)))."""
+        return 1.0 + math.atan(2.0 * math.pi / self.n_theta)
 
     def replace(self, **kw) -> "ICETConfig":
         return dataclasses.replace(self, **kw)

@@ -121,25 +121,64 @@ def load_ply(path: str, max_points: int = DEFAULT_MAX_POINTS) -> np.ndarray:
         return pad_cloud(xyz, max_points)
 
 
+def load_codd_hdf5(
+    path: str,
+    frame: int = 0,
+    vehicle: int = 0,
+    max_points: int = DEFAULT_MAX_POINTS,
+) -> np.ndarray:
+    """CODD cooperative-driving dataset: hdf5 'point_cloud' of shape
+    [frames, vehicles, points, 4] (reference fake_lidar.py:126-134)."""
+    import h5py
+
+    with h5py.File(path, "r") as hf:
+        pts = hf["point_cloud"][frame, vehicle, :, :3]
+    return pad_cloud(np.asarray(pts), max_points)
+
+
+def load_pixset_pkl(path: str, max_points: int = DEFAULT_MAX_POINTS) -> np.ndarray:
+    """LeddarTech PixSet ouster64 export: a pickled structured array whose
+    records start with x, y, z (reference fake_lidar.py:136-152)."""
+    import pickle
+
+    with open(path, "rb") as f:
+        data = pickle.load(f)
+    arr = np.asarray(data.tolist() if hasattr(data, "tolist") else data)
+    return pad_cloud(np.asarray(arr, np.float64)[:, :3], max_points)
+
+
+def load_ford_mat(path: str, max_points: int = DEFAULT_MAX_POINTS) -> np.ndarray:
+    """Ford Campus dataset SCANS .mat: SCAN.XYZ is 3xN
+    (reference fake_lidar.py:154-162)."""
+    from scipy.io import loadmat
+
+    dat = loadmat(path, simplify_cells=True)
+    scan = dat["SCAN"]
+    xyz = np.asarray(scan["XYZ"] if isinstance(scan, dict) else scan)
+    if xyz.shape[0] == 3 and xyz.shape[1] != 3:
+        xyz = xyz.T
+    return pad_cloud(xyz, max_points)
+
+
 _LOADERS = {
     ".npy": load_npy,
     ".bin": load_kitti_bin,
     ".csv": load_csv,
     ".txt": load_csv,
     ".ply": load_ply,
+    ".h5": load_codd_hdf5,
+    ".hdf5": load_codd_hdf5,
+    ".pkl": load_pixset_pkl,
+    ".mat": load_ford_mat,
 }
 
 
 def load_cloud(path: str, max_points: int = DEFAULT_MAX_POINTS) -> np.ndarray:
     ext = os.path.splitext(path)[1].lower()
-    if ext in (".h5", ".hdf5", ".pkl", ".mat"):
-        raise NotImplementedError(
-            f"{ext} clouds need a reader not baked into this image; convert "
-            "to .npy/.bin first (the reference's CODD/PixSet/Ford loaders, "
-            "fake_lidar.py:126-162, had the same external deps)."
-        )
     if ext not in _LOADERS:
         raise ValueError(f"unknown point-cloud format: {path}")
+    if ext in (".h5", ".hdf5"):
+        return load_codd_hdf5(path, max_points=max_points)
     return _LOADERS[ext](path, max_points)
 
 

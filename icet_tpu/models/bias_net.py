@@ -146,6 +146,24 @@ def make_patch_batch(key, batch: int = 256, sample_pts: int = 100):
     return pack_voxel_samples(s1, s2), target
 
 
+_WEIGHTS_DIR = __file__.rsplit("/", 1)[0] + "/weights"
+
+
+def load_pretrained(sample_pts: int = 100):
+    """Load the bundled pretrained BiasNet (trained on synthetic patches,
+    see train_bias_net; MAE ~0.08 m on +-0.3 m shifts).
+
+    Returns (model, params) ready for filters.register_pair_with_dnn.
+    """
+    from icet_tpu.utils.checkpoint import load_checkpoint
+
+    path = f"{_WEIGHTS_DIR}/bias_net_s{sample_pts}.npz"
+    params = jax.tree_util.tree_map(
+        jnp.asarray, load_checkpoint(path)
+    )
+    return BiasNet(), params
+
+
 def train_bias_net(
     key=None, steps: int = 300, batch: int = 256, sample_pts: int = 100, lr=1e-3
 ):

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from icet_tpu.config import ICETConfig
 from icet_tpu.ops.geometry import TWO_PI, spherical_to_cart
@@ -26,8 +27,10 @@ def voxel_ids(rtp: jax.Array, cfg: ICETConfig) -> jax.Array:
 
     Binning follows reference src/icet.cpp:534-554: uniform angular bins,
     ``binTheta = floor(theta / 2pi * n_theta)``, ``binPhi`` over the
-    configured elevation band.  Out-of-band / out-of-range points map to the
-    sentinel id ``cfg.n_voxels``.
+    configured elevation band.  In "fixed" radial mode the id additionally
+    carries a geometric radial-shell index
+    (``vid = shell * n_angular + iphi * n_theta + itheta``).  Out-of-band /
+    out-of-range points map to the sentinel id ``cfg.n_voxels``.
     """
     r, theta, phi = rtp[..., 0], rtp[..., 1], rtp[..., 2]
     itheta = jnp.clip(
@@ -38,13 +41,46 @@ def voxel_ids(rtp: jax.Array, cfg: ICETConfig) -> jax.Array:
     iphi = jnp.floor(fphi).astype(jnp.int32)
     in_band = (iphi >= 0) & (iphi < cfg.n_phi) & (r >= cfg.min_range)
     vid = iphi * cfg.n_theta + itheta
+    if cfg.radial_mode == "fixed":
+        g = cfg.shell_growth
+        safe_r = jnp.maximum(r, cfg.min_range)
+        shell = jnp.floor(
+            jnp.log(safe_r / cfg.min_range) / np.log(g)
+        ).astype(jnp.int32)
+        in_band = in_band & (shell >= 0) & (shell < cfg.n_shells)
+        shell = jnp.clip(shell, 0, cfg.n_shells - 1)
+        vid = shell * cfg.n_angular + vid
     return jnp.where(in_band, vid, cfg.n_voxels).astype(jnp.int32)
 
 
+def shell_edges(cfg: ICETConfig) -> jax.Array:
+    """Radial shell edges (n_shells + 1,) for "fixed" mode (reference
+    grid_spherical geometric spacing, ICET_spherical.py:1226-1234)."""
+    k = np.arange(cfg.n_shells + 1, dtype=np.float64)
+    return jnp.asarray(cfg.min_range * cfg.shell_growth**k, jnp.float32)
+
+
+def fixed_shell_bounds(cfg: ICETConfig) -> jax.Array:
+    """(V+1, 2) radial bounds table for "fixed" mode: every voxel spans its
+    shell; sentinel row zero."""
+    edges = shell_edges(cfg)
+    inner = jnp.repeat(edges[:-1], cfg.n_angular)
+    outer = jnp.repeat(edges[1:], cfg.n_angular)
+    bounds = jnp.stack([inner, outer], axis=-1)
+    return jnp.concatenate(
+        [bounds, jnp.zeros((1, 2), bounds.dtype)], axis=0
+    )
+
+
 def voxel_angle_centers(cfg: ICETConfig):
-    """Bin-center (theta, phi) for every voxel id, each shape ``(V,)``."""
-    itheta = jnp.arange(cfg.n_voxels, dtype=jnp.int32) % cfg.n_theta
-    iphi = jnp.arange(cfg.n_voxels, dtype=jnp.int32) // cfg.n_theta
+    """Bin-center (theta, phi) for every voxel id, each shape ``(V,)``.
+
+    In fixed radial mode the angular pattern repeats per shell
+    (``vid % n_angular`` recovers the angular bin).
+    """
+    ang = jnp.arange(cfg.n_voxels, dtype=jnp.int32) % cfg.n_angular
+    itheta = ang % cfg.n_theta
+    iphi = ang // cfg.n_theta
     theta_c = (itheta.astype(jnp.float32) + 0.5) / cfg.n_theta * TWO_PI
     phi_span = cfg.phi_max - cfg.phi_min
     phi_c = cfg.phi_min + (iphi.astype(jnp.float32) + 0.5) / cfg.n_phi * phi_span
@@ -75,8 +111,9 @@ def voxel_corners(bounds: jax.Array, cfg: ICETConfig) -> jax.Array:
     Visualization/export analog of reference get_corners_cluster
     (ICET_spherical.py:864-882).
     """
-    itheta = jnp.arange(cfg.n_voxels, dtype=jnp.float32) % cfg.n_theta
-    iphi = jnp.arange(cfg.n_voxels, dtype=jnp.float32) // cfg.n_theta
+    ang = jnp.arange(cfg.n_voxels, dtype=jnp.int32) % cfg.n_angular
+    itheta = (ang % cfg.n_theta).astype(jnp.float32)
+    iphi = (ang // cfg.n_theta).astype(jnp.float32)
     th0 = itheta / cfg.n_theta * TWO_PI
     th1 = (itheta + 1.0) / cfg.n_theta * TWO_PI
     phi_span = cfg.phi_max - cfg.phi_min

@@ -144,17 +144,31 @@ def prepare_reference(
     else:
         scan1_full = scan1
 
-    rtp_full = cart_to_spherical(scan1_full)
-    r_full = rtp_full[..., 0]
-    clusters = radial_cluster_bounds(
-        voxel_ids(rtp_full, cfg),
-        r_full,
-        r_full >= cfg.min_range,
-        cfg.n_voxels,
-        cfg.min_pts,
-        cfg.cluster_gap,
-        cfg.cluster_buffer,
-    )
+    if cfg.radial_mode == "fixed":
+        # NDT-style regular grid: bounds are the geometric shell edges; no
+        # data-dependent clustering pass (reference grid_spherical,
+        # ICET_spherical.py:1206-1234).
+        from icet_tpu.ops.clustering import ClusterResult
+        from icet_tpu.ops.grid import fixed_shell_bounds
+
+        clusters = ClusterResult(
+            bounds=fixed_shell_bounds(cfg),
+            found=jnp.concatenate(
+                [jnp.ones((cfg.n_voxels,), bool), jnp.zeros((1,), bool)]
+            ),
+        )
+    else:
+        rtp_full = cart_to_spherical(scan1_full)
+        r_full = rtp_full[..., 0]
+        clusters = radial_cluster_bounds(
+            voxel_ids(rtp_full, cfg),
+            r_full,
+            r_full >= cfg.min_range,
+            cfg.n_voxels,
+            cfg.min_pts,
+            cfg.cluster_gap,
+            cfg.cluster_buffer,
+        )
     anchors = voxel_anchors(clusters.bounds, cfg)
 
     rtp = cart_to_spherical(scan1)

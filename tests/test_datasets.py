@@ -93,8 +93,48 @@ def test_load_cloud_rejects_unknown(tmp_path):
     p.write_text("")
     with pytest.raises(ValueError):
         load_cloud(str(p))
-    with pytest.raises(NotImplementedError):
-        load_cloud("scan.mat")
+
+
+def test_load_codd_hdf5(tmp_path, rng):
+    import h5py
+
+    from icet_tpu.datasets.loaders import load_codd_hdf5
+
+    pts = rng.normal(size=(2, 1, 40, 4)).astype(np.float32)
+    p = tmp_path / "codd.hdf5"
+    with h5py.File(p, "w") as hf:
+        hf.create_dataset("point_cloud", data=pts)
+    out = load_codd_hdf5(str(p), frame=1, max_points=64)
+    np.testing.assert_allclose(out[:40], pts[1, 0, :, :3])
+
+
+def test_load_pixset_pkl(tmp_path, rng):
+    import pickle
+
+    from icet_tpu.datasets.loaders import load_pixset_pkl
+
+    rec = np.core.records.fromarrays(
+        rng.normal(size=(5, 30)), names="x,y,z,i,t"
+    )
+    p = tmp_path / "scan.pkl"
+    with open(p, "wb") as f:
+        pickle.dump(rec, f)
+    out = load_pixset_pkl(str(p), 64)
+    np.testing.assert_allclose(
+        out[:30, 0], rec.x.astype(np.float32), atol=1e-6
+    )
+
+
+def test_load_ford_mat(tmp_path, rng):
+    from scipy.io import savemat
+
+    from icet_tpu.datasets.loaders import load_ford_mat
+
+    xyz = rng.normal(size=(3, 25))
+    p = tmp_path / "Scan0001.mat"
+    savemat(p, {"SCAN": {"XYZ": xyz}})
+    out = load_ford_mat(str(p), 64)
+    np.testing.assert_allclose(out[:25], xyz.T.astype(np.float32), atol=1e-6)
 
 
 def test_replay_source(tmp_path, rng):

@@ -110,3 +110,16 @@ def test_dnn_filter_end_to_end(trained):
     np.testing.assert_allclose(
         np.asarray(res.X), np.asarray(plain.X), atol=0.05
     )
+
+
+def test_load_pretrained_weights():
+    from icet_tpu.models.bias_net import load_pretrained, make_patch_batch
+    import jax
+
+    model, params = load_pretrained(100)
+    inputs, targets = make_patch_batch(jax.random.PRNGKey(7), batch=64,
+                                       sample_pts=100)
+    pred = model.apply(params, inputs)
+    mae = float(jnp.mean(jnp.abs(pred - targets)))
+    # Far better than the predict-zero baseline (~0.15 on +-0.3 targets).
+    assert mae < 0.12, mae
