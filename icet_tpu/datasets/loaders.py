@@ -38,6 +38,56 @@ def pad_cloud(points: np.ndarray, max_points: int = DEFAULT_MAX_POINTS) -> np.nd
     return out
 
 
+def to_beam_major(points: np.ndarray, n_beams: int) -> np.ndarray:
+    """Re-stride an azimuth-major scan (all beams per azimuth column stored
+    consecutively) into beam-major order (full azimuth sweep per beam).
+
+    Pure permutation — registration results are order-invariant — but the
+    solver's windowed accumulation fast path (ops/windowed_moments.py) relies
+    on consecutive points sweeping azimuth smoothly; azimuth-major input
+    falls back to a ~2x slower order-independent path.  The bundled Ouster
+    frames (frame_804/805) are azimuth-major with 64 beams.
+    """
+    points = np.asarray(points)
+    n = points.shape[0]
+    if n % n_beams:
+        return points
+    return np.ascontiguousarray(
+        points.reshape(n // n_beams, n_beams, 3).transpose(1, 0, 2).reshape(-1, 3)
+    )
+
+
+def detect_beam_count(points: np.ndarray, candidates=(16, 32, 64, 128)) -> int | None:
+    """Guess the beam count of an azimuth-major scan by elevation coherence:
+    in azimuth-major order, points k*n_beams + b share beam b, so the
+    per-beam elevation variance collapses at the true count."""
+    points = np.asarray(points, np.float64)
+    r = np.linalg.norm(points, axis=1)
+    ok = r > 0.2
+    best, best_score = None, np.inf
+    base = None
+    for nb in candidates:
+        if len(points) % nb:
+            continue
+        elev = np.arcsin(np.clip(points[:, 2] / np.maximum(r, 1e-9), -1, 1))
+        e = elev.reshape(-1, nb)
+        okb = ok.reshape(-1, nb)
+        var = 0.0
+        for b in range(nb):
+            col = e[:, b][okb[:, b]]
+            if len(col) > 10:
+                var += np.var(col)
+        score = var / nb
+        if base is None:
+            base = score
+        if score < best_score:
+            best, best_score = nb, score
+    # Require a clear collapse relative to the smallest candidate's score.
+    if base and best_score < 0.25 * base:
+        return best
+    return None
+
+
 def load_npy(path: str, max_points: int = DEFAULT_MAX_POINTS) -> np.ndarray:
     """Load an (N, 3) .npy cloud (the reference's bundled sample format)."""
     return pad_cloud(np.load(path), max_points)

@@ -114,11 +114,11 @@ def dnn_reject_mask(
 
     # Compare in the extended-axis-suppressed frame, rotated back to xyz
     # (reference it_compact_xyz / dnn_compact_xyz, ICET_spherical.py:355-367).
+    from icet_tpu.ops.linalg import small_matmul
+
     P = model.lmask[:, :, None] * jnp.swapaxes(model.basis, -1, -2)
-    proj = jnp.matmul(model.basis, P, precision=_HI)  # U diag(l) U^T
-    diff = jnp.einsum(
-        "vij,vj->vi", proj, icet_shift - shift, precision=_HI
-    )
+    proj = small_matmul(model.basis, P)  # U diag(l) U^T
+    diff = jnp.sum(proj * (icet_shift - shift)[:, None, :], axis=-1)
     candidates = model.valid & (n1 >= cfg.min_pts) & (n2 >= cfg.min_pts)
     bad = candidates & jnp.any(jnp.abs(diff) > cfg.dnn_thresh, axis=-1)
     return DnnFilterResult(

@@ -117,8 +117,9 @@ def measurement_jacobian(mu: jax.Array, angs: jax.Array) -> jax.Array:
     residual) matters, and that is set by :func:`transform_points`.
     """
     dR = rotation_jacobian(angs)  # (3, 3, 3), [..., k] = dR/da_k
-    # rot_block[v, :, k] = (dR/da_k) @ mu[v]
-    rot_block = jnp.einsum("ijk,vj->vik", dR, mu, precision=_HI)
+    # rot_block[v, :, k] = (dR/da_k) @ mu[v] — broadcast-sum on the VPU
+    # (a K=3 dot_general would round-trip through padded MXU tiles).
+    rot_block = jnp.sum(dR[None] * mu[:, None, :, None], axis=2)
     eye = -jnp.eye(3, dtype=mu.dtype)
     eye = jnp.broadcast_to(eye, (mu.shape[0], 3, 3))
     return jnp.concatenate([eye, rot_block], axis=-1)

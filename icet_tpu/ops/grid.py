@@ -100,9 +100,12 @@ def voxel_anchors(bounds: jax.Array, cfg: ICETConfig) -> jax.Array:
     r_mid = 0.5 * (bounds[: cfg.n_voxels, 0] + bounds[: cfg.n_voxels, 1])
     rtp = jnp.stack([r_mid, theta_c, phi_c], axis=-1)
     anchors = spherical_to_cart(rtp)
-    return jnp.concatenate(
+    anchors = jnp.concatenate(
         [anchors, jnp.zeros((1, 3), dtype=anchors.dtype)], axis=0
     )
+    # Round to bf16 so the fused Pallas accumulator (which fetches anchors
+    # through a bf16 one-hot matmul) subtracts bit-identical values.
+    return anchors.astype(jnp.bfloat16).astype(jnp.float32)
 
 
 def voxel_corners(bounds: jax.Array, cfg: ICETConfig) -> jax.Array:

@@ -69,8 +69,28 @@ def _accumulate_segsum(feats, vid, n_voxels):
     return jax.ops.segment_sum(feats, vid, num_segments=n_voxels + 1)
 
 
+def _split3_bf16(x):
+    """Exact 3-way bfloat16 mantissa split: x == hi + mid + lo (f32).
+
+    Each part is exactly representable in bf16, so a bf16 MXU matmul against
+    an exactly-representable operand (a one-hot matrix) reproduces the f32
+    product bit-for-bit per term; three fast bf16 passes replace the 6-pass
+    Precision.HIGHEST decomposition at ~2x the speed and full f32 accuracy.
+    """
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
 def _accumulate_onehot(feats, vid, n_voxels, block):
-    """Blocked one-hot MXU accumulation via lax.scan over point blocks."""
+    """Blocked one-hot MXU accumulation via lax.scan over point blocks.
+
+    The (block, V+1) one-hot matrix lives only on-chip; its contraction with
+    the feature block rides the MXU in bf16 with a 3-way mantissa split of
+    the features (exact — see _split3_bf16).
+    """
     n = feats.shape[0]
     pad = (-n) % block
     if pad:
@@ -82,14 +102,18 @@ def _accumulate_onehot(feats, vid, n_voxels, block):
 
     def body(acc, xs):
         f, v = xs
-        onehot = (v[:, None] == volume[None, :]).astype(f.dtype)  # (block, V+1)
-        acc = acc + jax.lax.dot_general(
-            onehot,
-            f,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        onehot = (v[:, None] == volume[None, :]).astype(jnp.bfloat16)
+        for part in _split3_bf16(f):
+            prod = jax.lax.dot_general(
+                onehot,
+                part,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # Barrier: XLA would otherwise reassociate
+            # dot(oh, hi) + dot(oh, mid) -> dot(oh, hi + mid), re-rounding
+            # the sum to bf16 and destroying the exact split.
+            acc = acc + jax.lax.optimization_barrier(prod)
         return acc, None
 
     init = jnp.zeros((n_voxels + 1, _N_FEATURES), jnp.float32)

@@ -51,7 +51,12 @@ from icet_tpu.ops.geometry import (
     transform_points,
 )
 from icet_tpu.ops.grid import voxel_anchors, voxel_ids
-from icet_tpu.ops.linalg import eigh_small, psd_pinv
+from icet_tpu.ops.linalg import (
+    eigh_small,
+    eigh_small_warm,
+    psd_pinv,
+    small_matmul,
+)
 from icet_tpu.ops.moments import voxel_moments
 
 _HI = jax.lax.Precision.HIGHEST
@@ -171,21 +176,32 @@ def prepare_reference(
         )
     anchors = voxel_anchors(clusters.bounds, cfg)
 
-    rtp = cart_to_spherical(scan1)
-    r = rtp[..., 0]
-    valid_pt = r >= cfg.min_range
-    vid = voxel_ids(rtp, cfg)
-    member = membership(vid, r, valid_pt, clusters.bounds, cfg.n_voxels)
-    moments = voxel_moments(
-        scan1,
-        vid,
-        member,
-        anchors,
-        cfg.n_voxels,
-        method=_moment_method(cfg),
-        block=cfg.moment_block,
-        axis_name=axis_name,
-    )
+    method = _moment_method(cfg)
+    if method == "fused":
+        from icet_tpu.ops.moments import finalize_moments
+
+        sums = _fused_sums(
+            scan1, jnp.zeros(6, scan1.dtype), clusters.bounds, anchors, cfg
+        )
+        if axis_name is not None:
+            sums = jax.lax.psum(sums, axis_name)
+        moments = finalize_moments(sums, anchors)
+    else:
+        rtp = cart_to_spherical(scan1)
+        r = rtp[..., 0]
+        valid_pt = r >= cfg.min_range
+        vid = voxel_ids(rtp, cfg)
+        member = membership(vid, r, valid_pt, clusters.bounds, cfg.n_voxels)
+        moments = voxel_moments(
+            scan1,
+            vid,
+            member,
+            anchors,
+            cfg.n_voxels,
+            method=method,
+            block=cfg.moment_block,
+            axis_name=axis_name,
+        )
 
     valid = (
         clusters.found
@@ -210,14 +226,48 @@ def prepare_reference(
     )
 
 
+def _jnp_sums(pts, X, bounds, anchors, cfg: ICETConfig):
+    """Order-independent accumulation (transform + rebin + segsum)."""
+    from icet_tpu.ops.moments import voxel_moment_sums
+
+    p2 = transform_points(pts, X)
+    rtp = cart_to_spherical(p2)
+    r = rtp[..., 0]
+    vid = voxel_ids(rtp, cfg)
+    member = membership(vid, r, r >= cfg.min_range, bounds, cfg.n_voxels)
+    return voxel_moment_sums(
+        p2, vid, member, anchors, cfg.n_voxels, method="segsum"
+    )
+
+
+def _fused_sums(pts, X, bounds, anchors, cfg: ICETConfig):
+    """Windowed fast path (exploits lidar beam-major scan order — each point
+    block hits a narrow contiguous voxel band; ops/windowed_moments.py) with
+    a lax.cond fallback to the order-independent segsum path when any
+    block's points overflow the window (shuffled/azimuth-major inputs stay
+    correct, just slower — see datasets.loaders.to_beam_major)."""
+    from icet_tpu.ops.windowed_moments import windowed_moment_sums
+
+    if cfg.radial_mode == "fixed":
+        # Radial shells scatter a block's ids across the whole table; the
+        # windowed trick only pays off for adaptive (angular-only) voxels.
+        return _jnp_sums(pts, X, bounds, anchors, cfg)
+
+    sums_w, ovf = windowed_moment_sums(pts, X, bounds, anchors, cfg)
+    return jax.lax.cond(
+        ovf == 0,
+        lambda: sums_w,
+        lambda: _jnp_sums(pts, X, bounds, anchors, cfg),
+    )
+
+
 def _moment_method(cfg: ICETConfig) -> str:
     if cfg.moment_method == "auto":
-        # Measured on v5e (65536 pts, V=1800): segsum (XLA scatter-add) ~us
-        # of device time, beating both the lax.scan one-hot matmul and the
-        # Pallas MXU kernel (ops/pallas_moments.py) — with only 16 features
-        # the one-hot contraction runs the MXU at 16/256 lane utilisation,
-        # while v5e's scatter path handles ~36 colliding updates/voxel fine.
-        return "segsum"
+        # On TPU the fused Pallas kernel (ops/pallas_fused.py) collapses the
+        # whole transform+rebin+accumulate pass into one VMEM-resident sweep;
+        # elsewhere (CPU CI) the XLA scatter-add path wins (the fused kernel
+        # would run interpreted).
+        return "fused" if jax.default_backend() == "tpu" else "segsum"
     return cfg.moment_method
 
 
@@ -241,23 +291,34 @@ def _iteration(
     cfg: ICETConfig,
     axis_name: str | None = None,
     corr_mask: jax.Array | None = None,
+    U2_warm: jax.Array | None = None,
 ):
-    p2 = transform_points(scan2, X)
-    rtp2 = cart_to_spherical(p2)
-    r2 = rtp2[..., 0]
-    valid_pt2 = r2 >= cfg.min_range
-    vid2 = voxel_ids(rtp2, cfg)
-    member2 = membership(vid2, r2, valid_pt2, model.bounds, cfg.n_voxels)
-    m2 = voxel_moments(
-        p2,
-        vid2,
-        member2,
-        model.anchors,
-        cfg.n_voxels,
-        method=_moment_method(cfg),
-        block=cfg.moment_block,
-        axis_name=axis_name,
-    )
+    method = _moment_method(cfg)
+    if method == "fused":
+        # Single Pallas sweep: transform + rebin + anchored accumulation.
+        from icet_tpu.ops.moments import finalize_moments
+
+        sums = _fused_sums(scan2, X, model.bounds, model.anchors, cfg)
+        if axis_name is not None:
+            sums = jax.lax.psum(sums, axis_name)
+        m2 = finalize_moments(sums, model.anchors)
+    else:
+        p2 = transform_points(scan2, X)
+        rtp2 = cart_to_spherical(p2)
+        r2 = rtp2[..., 0]
+        valid_pt2 = r2 >= cfg.min_range
+        vid2 = voxel_ids(rtp2, cfg)
+        member2 = membership(vid2, r2, valid_pt2, model.bounds, cfg.n_voxels)
+        m2 = voxel_moments(
+            p2,
+            vid2,
+            member2,
+            model.anchors,
+            cfg.n_voxels,
+            method=method,
+            block=cfg.moment_block,
+            axis_name=axis_name,
+        )
 
     corr = model.valid & (m2.count >= cfg.min_pts)
     if corr_mask is not None:
@@ -266,9 +327,11 @@ def _iteration(
         corr = corr & corr_mask
 
     # P = diag(l) U^T: compact (eigenbasis, extended-axis-masked) projector.
+    # All (V, 3, 3)-batched products below use the VPU broadcast form —
+    # dot_general would pad every 3x3 to an MXU tile (see linalg.small_matmul).
     P = model.lmask[:, :, None] * jnp.swapaxes(model.basis, -1, -2)
     residual = m2.mean - model.mean  # (V+1, 3)
-    res_compact = jnp.einsum("vij,vj->vi", P, residual, precision=_HI)
+    res_compact = jnp.sum(P * residual[:, None, :], axis=-1)
 
     # Moving-object rejection (reference ICET_spherical.py:175-285).
     n_rejected = jnp.zeros((), jnp.int32)
@@ -293,20 +356,40 @@ def _iteration(
     n1 = jnp.maximum(model.count - 1.0, 1.0)
     n2 = jnp.maximum(m2.count - 1.0, 1.0)
     R_noise = model.cov / n1[:, None, None] + m2.cov / n2[:, None, None]
-    R_proj = _mm(_mm(P, R_noise), jnp.swapaxes(P, -1, -2))
+    R_proj = small_matmul(small_matmul(P, R_noise), jnp.swapaxes(P, -1, -2))
     W = psd_pinv(R_proj, rcond=cfg.pinv_rcond)
 
     H = measurement_jacobian(m2.mean, X[3:6])  # (V+1, 3, 6)
-    Hz = _mm(P, H)
+    Hz = small_matmul(P, H)
 
-    HTWH = jnp.einsum("v,vai,vab,vbj->ij", cm, Hz, W, Hz, precision=_HI)
-    HTWdz = jnp.einsum("v,vai,vab,vb->i", cm, Hz, W, res_compact, precision=_HI)
+    # Accumulate the normal equations: per-voxel tiny products on the VPU,
+    # then ONE real (3V, 6)^T @ (3V, 6) MXU contraction for the reduction.
+    WHz = small_matmul(W, Hz) * cm[:, None, None]  # (V+1, 3, 6)
+    flat_Hz = Hz.reshape(-1, 6)
+    flat_WHz = WHz.reshape(-1, 6)
+    HTWH = jax.lax.dot_general(
+        flat_Hz, flat_WHz, (((0,), (0,)), ((), ())),
+        precision=_HI, preferred_element_type=jnp.float32,
+    )
+    Wdz = jnp.sum(W * res_compact[:, None, :], axis=-1) * cm[:, None]  # (V+1, 3)
+    HTWdz = jnp.sum(Hz * Wdz[:, :, None], axis=(0, 1))
 
     # Global condition pruning (reference checkCondition, icet.cpp:443-492 /
     # ICET_spherical.py:774-824).  With L2 a row-selector of the eigenbasis,
     # dx = pinv(L2 lam U2^T) L2 U2^T (H^T W dz) collapses to the truncated
     # eigen pseudo-inverse below.
-    w6, U2 = eigh_small(HTWH)  # ascending
+    if U2_warm is None:
+        w6, U2 = eigh_small(HTWH)  # ascending
+    else:
+        # Warm-start from the previous iteration's eigenbasis: the normal
+        # equations change slowly across GN iterations and the cold 8-sweep
+        # sequential Jacobi on this single 6x6 was the top op in the trace.
+        # Iteration 0 has no history (carry = identity) and runs cold.
+        w6, U2 = jax.lax.cond(
+            it == 0,
+            lambda: eigh_small(HTWH, 8),
+            lambda: eigh_small_warm(HTWH, U2_warm, sweeps=3),
+        )
     cond_full = jnp.abs(w6[-1]) / jnp.maximum(jnp.abs(w6[0]), 1e-30)
     # Keep axis k iff lam_max / lam_k stays under the cutoff; an all-zero
     # spectrum (no correspondences) keeps nothing, making the update a no-op
@@ -336,7 +419,7 @@ def _iteration(
         n_dropped_axes=jnp.sum((~keep).astype(jnp.int32)),
         n_rejected_moving=n_rejected,
     )
-    return X_new, pred_stds, Q, corr, diag
+    return X_new, pred_stds, Q, corr, U2, diag
 
 
 # ---------------------------------------------------------------------------
@@ -361,19 +444,20 @@ def register(
     V1 = cfg.n_voxels + 1
 
     def body(carry, it):
-        X, _, _, _ = carry
-        X_new, pred_stds, Q, corr, diag = _iteration(
-            model, scan2, X, it, cfg, axis_name, corr_mask
+        X, _, _, _, U2_warm = carry
+        X_new, pred_stds, Q, corr, U2, diag = _iteration(
+            model, scan2, X, it, cfg, axis_name, corr_mask, U2_warm
         )
-        return (X_new, pred_stds, Q, corr), diag
+        return (X_new, pred_stds, Q, corr, U2), diag
 
     init = (
         x0.astype(scan2.dtype),
         jnp.zeros((6,), scan2.dtype),
         jnp.zeros((6, 6), scan2.dtype),
         jnp.zeros((V1,), bool),
+        jnp.eye(6, dtype=scan2.dtype),
     )
-    (X, pred_stds, Q, corr), diags = jax.lax.scan(
+    (X, pred_stds, Q, corr, _), diags = jax.lax.scan(
         body, init, jnp.arange(cfg.n_iters)
     )
 

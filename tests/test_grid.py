@@ -56,7 +56,8 @@ def test_voxel_anchors_inside_bounds():
     bounds[:, 1] = 7.0
     anchors = np.asarray(voxel_anchors(jnp.asarray(bounds), CFG))
     r = np.linalg.norm(anchors[:-1], axis=1)
-    np.testing.assert_allclose(r, 6.0, atol=1e-4)
+    # Anchors are bf16-rounded (fused-kernel consistency): ~0.4% tolerance.
+    np.testing.assert_allclose(r, 6.0, atol=0.05)
     np.testing.assert_allclose(anchors[-1], 0.0)
     # Anchor maps back to its own voxel.
     rtp = cart_to_spherical(jnp.asarray(anchors[:-1]))
