@@ -357,7 +357,7 @@ def _iteration(
     n2 = jnp.maximum(m2.count - 1.0, 1.0)
     R_noise = model.cov / n1[:, None, None] + m2.cov / n2[:, None, None]
     R_proj = small_matmul(small_matmul(P, R_noise), jnp.swapaxes(P, -1, -2))
-    W = psd_pinv(R_proj, rcond=cfg.pinv_rcond)
+    W = psd_pinv(R_proj, rcond=cfg.pinv_rcond, sweeps=5)
 
     H = measurement_jacobian(m2.mean, X[3:6])  # (V+1, 3, 6)
     Hz = small_matmul(P, H)
@@ -384,12 +384,8 @@ def _iteration(
         # Warm-start from the previous iteration's eigenbasis: the normal
         # equations change slowly across GN iterations and the cold 8-sweep
         # sequential Jacobi on this single 6x6 was the top op in the trace.
-        # Iteration 0 has no history (carry = identity) and runs cold.
-        w6, U2 = jax.lax.cond(
-            it == 0,
-            lambda: eigh_small(HTWH, 8),
-            lambda: eigh_small_warm(HTWH, U2_warm, sweeps=3),
-        )
+        # (Iteration 0 is unrolled in register() and runs the cold path.)
+        w6, U2 = eigh_small_warm(HTWH, U2_warm, sweeps=2)
     cond_full = jnp.abs(w6[-1]) / jnp.maximum(jnp.abs(w6[0]), 1e-30)
     # Keep axis k iff lam_max / lam_k stays under the cutoff; an all-zero
     # spectrum (no correspondences) keeps nothing, making the update a no-op
@@ -441,7 +437,12 @@ def register(
     the returned ``static_mask`` covers only that shard; everything else is
     replicated across the axis.
     """
-    V1 = cfg.n_voxels + 1
+    # Iteration 0 is unrolled: it runs the cold eigendecomposition and seeds
+    # the warm eigenbasis carried through the scanned remaining iterations
+    # (keeping the cold/warm branch out of the scan body).
+    X1, ps0, Q0, corr0, U2_0, diag0 = _iteration(
+        model, scan2, x0.astype(scan2.dtype), 0, cfg, axis_name, corr_mask, None
+    )
 
     def body(carry, it):
         X, _, _, _, U2_warm = carry
@@ -450,16 +451,17 @@ def register(
         )
         return (X_new, pred_stds, Q, corr, U2), diag
 
-    init = (
-        x0.astype(scan2.dtype),
-        jnp.zeros((6,), scan2.dtype),
-        jnp.zeros((6, 6), scan2.dtype),
-        jnp.zeros((V1,), bool),
-        jnp.eye(6, dtype=scan2.dtype),
-    )
-    (X, pred_stds, Q, corr, _), diags = jax.lax.scan(
-        body, init, jnp.arange(cfg.n_iters)
-    )
+    init = (X1, ps0, Q0, corr0, U2_0)
+    if cfg.n_iters > 1:
+        (X, pred_stds, Q, corr, _), diags_rest = jax.lax.scan(
+            body, init, jnp.arange(1, cfg.n_iters)
+        )
+        diags = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a[None], b], axis=0), diag0, diags_rest
+        )
+    else:
+        X, pred_stds, Q, corr = X1, ps0, Q0, corr0
+        diags = jax.tree_util.tree_map(lambda a: a[None], diag0)
 
     # Scan-2 points inside used (non-moving) voxels at the final estimate
     # (reference cloud2_static, ICET_spherical.py:482-487).
