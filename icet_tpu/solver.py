@@ -44,19 +44,9 @@ import jax.numpy as jnp
 
 from icet_tpu.config import ICETConfig
 from icet_tpu.ops.clustering import membership, radial_cluster_bounds
-from icet_tpu.ops.geometry import (
-    cart_to_spherical,
-    euler_R,
-    measurement_jacobian,
-    transform_points,
-)
+from icet_tpu.ops.geometry import cart_to_spherical, transform_points
 from icet_tpu.ops.grid import voxel_anchors, voxel_ids
-from icet_tpu.ops.linalg import (
-    eigh_small,
-    eigh_small_warm,
-    psd_pinv,
-    small_matmul,
-)
+from icet_tpu.ops.linalg import eigh_small, eigh_small_warm
 from icet_tpu.ops.moments import voxel_moments
 
 _HI = jax.lax.Precision.HIGHEST
@@ -327,11 +317,16 @@ def _iteration(
         corr = corr & corr_mask
 
     # P = diag(l) U^T: compact (eigenbasis, extended-axis-masked) projector.
-    # All (V, 3, 3)-batched products below use the VPU broadcast form —
-    # dot_general would pad every 3x3 to an MXU tile (see linalg.small_matmul).
-    P = model.lmask[:, :, None] * jnp.swapaxes(model.basis, -1, -2)
-    residual = m2.mean - model.mean  # (V+1, 3)
-    res_compact = jnp.sum(P * residual[:, None, :], axis=-1)
+    # Per-voxel math runs in plane (SoA) layout — (V, 3, 3) tensors carry
+    # 3/128-lane occupancy on TPU (ops/wls_planes.py).
+    from icet_tpu.ops.wls_planes import (
+        assemble_normal_equations,
+        residual_compact_planes,
+    )
+
+    res_compact = residual_compact_planes(
+        model.basis, model.lmask, model.mean, m2.mean
+    )
 
     # Moving-object rejection (reference ICET_spherical.py:175-285).
     n_rejected = jnp.zeros((), jnp.int32)
@@ -350,29 +345,15 @@ def _iteration(
 
     cm = corr.astype(scan2.dtype)
 
-    # Per-voxel noise covariance of the residual-of-means, projected and
-    # inverted to get the weighting (reference icet.cpp:314-321,
-    # ICET_spherical.py:431-437).
-    n1 = jnp.maximum(model.count - 1.0, 1.0)
-    n2 = jnp.maximum(m2.count - 1.0, 1.0)
-    R_noise = model.cov / n1[:, None, None] + m2.cov / n2[:, None, None]
-    R_proj = small_matmul(small_matmul(P, R_noise), jnp.swapaxes(P, -1, -2))
-    W = psd_pinv(R_proj, rcond=cfg.pinv_rcond, sweeps=5)
+    # Noise weighting + Jacobian products + normal-equation reduction, all
+    # in plane form (reference icet.cpp:314-338, ICET_spherical.py:424-457).
+    from icet_tpu.ops.geometry import rotation_jacobian
 
-    H = measurement_jacobian(m2.mean, X[3:6])  # (V+1, 3, 6)
-    Hz = small_matmul(P, H)
-
-    # Accumulate the normal equations: per-voxel tiny products on the VPU,
-    # then ONE real (3V, 6)^T @ (3V, 6) MXU contraction for the reduction.
-    WHz = small_matmul(W, Hz) * cm[:, None, None]  # (V+1, 3, 6)
-    flat_Hz = Hz.reshape(-1, 6)
-    flat_WHz = WHz.reshape(-1, 6)
-    HTWH = jax.lax.dot_general(
-        flat_Hz, flat_WHz, (((0,), (0,)), ((), ())),
-        precision=_HI, preferred_element_type=jnp.float32,
+    dR = rotation_jacobian(X[3:6])
+    HTWH, HTWdz, _ = assemble_normal_equations(
+        model.basis, model.lmask, model.cov, model.count, m2.cov, m2.count,
+        model.mean, m2.mean, dR, cm, cfg.pinv_rcond,
     )
-    Wdz = jnp.sum(W * res_compact[:, None, :], axis=-1) * cm[:, None]  # (V+1, 3)
-    HTWdz = jnp.sum(Hz * Wdz[:, :, None], axis=(0, 1))
 
     # Global condition pruning (reference checkCondition, icet.cpp:443-492 /
     # ICET_spherical.py:774-824).  With L2 a row-selector of the eigenbasis,
