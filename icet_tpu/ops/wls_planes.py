@@ -65,6 +65,68 @@ def _pinv3_planes(R, rcond, sweeps=5):
     return W
 
 
+def eigh3_planes(cov, sweeps=6):
+    """Plane-form symmetric 3x3 eigendecomposition of a (V, 3, 3) batch.
+
+    Returns (eigvals (V, 3) ascending, eigvecs-as-columns (V, 3, 3)) —
+    interface-compatible with linalg.eigh_small but with V on lanes
+    throughout (used by prepare_reference on the voxel covariances).
+    """
+    R = [[cov[:, i, j] for j in range(3)] for i in range(3)]
+    A = [[R[i][j] for j in range(3)] for i in range(3)]
+    one = jnp.ones_like(A[0][0])
+    zero = jnp.zeros_like(A[0][0])
+    Vm = [[one, zero, zero], [zero, one, zero], [zero, zero, one]]
+
+    def sweep(carry, _):
+        A, Vm = carry
+        A = [row[:] for row in A]
+        Vm = [row[:] for row in Vm]
+        for p, q in ((0, 1), (0, 2), (1, 2)):
+            ang = 0.5 * jnp.arctan2(2.0 * A[p][q], A[q][q] - A[p][p])
+            c = jnp.cos(ang)
+            s = jnp.sin(ang)
+            rowp = [c * A[p][j] - s * A[q][j] for j in range(3)]
+            rowq = [s * A[p][j] + c * A[q][j] for j in range(3)]
+            A[p], A[q] = rowp, rowq
+            for i in range(3):
+                ap = c * A[i][p] - s * A[i][q]
+                aq = s * A[i][p] + c * A[i][q]
+                A[i][p], A[i][q] = ap, aq
+                vp = c * Vm[i][p] - s * Vm[i][q]
+                vq = s * Vm[i][p] + c * Vm[i][q]
+                Vm[i][p], Vm[i][q] = vp, vq
+        return (A, Vm), None
+
+    (A, Vm), _ = jax.lax.scan(sweep, (A, Vm), None, length=sweeps)
+    w = [A[0][0], A[1][1], A[2][2]]
+    cols = [[Vm[i][k] for i in range(3)] for k in range(3)]  # cols[k] = evec k
+
+    # Ascending sort of 3 (eigval, eigvec) pairs: network (0,1)(1,2)(0,1).
+    def cswap(a, b):
+        swap = w[a] > w[b]
+        w[a], w[b] = (
+            jnp.where(swap, w[b], w[a]),
+            jnp.where(swap, w[a], w[b]),
+        )
+        for i in range(3):
+            cols[a][i], cols[b][i] = (
+                jnp.where(swap, cols[b][i], cols[a][i]),
+                jnp.where(swap, cols[a][i], cols[b][i]),
+            )
+
+    cswap(0, 1)
+    cswap(1, 2)
+    cswap(0, 1)
+
+    eigvals = jnp.stack(w, axis=-1)
+    basis = jnp.stack(
+        [jnp.stack([cols[k][i] for k in range(3)], axis=-1) for i in range(3)],
+        axis=-2,
+    )
+    return eigvals, basis
+
+
 def residual_compact_planes(basis, lmask, mean1, mean2):
     """``diag(l) U^T (mu2 - mu1)`` as planes -> (V, 3) (the compact residual
     used by the moving-object filter before the correspondence mask exists)."""

@@ -199,7 +199,9 @@ def prepare_reference(
         & (clusters.bounds[:, 1] > cfg.min_outer_range)
     )
 
-    eigvals, basis = eigh_small(moments.cov)
+    from icet_tpu.ops.wls_planes import eigh3_planes
+
+    eigvals, basis = eigh3_planes(moments.cov)
     lmask = _sigma_axis_mask(
         moments.mean, eigvals, basis, clusters.bounds, valid, cfg
     )

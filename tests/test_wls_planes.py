@@ -85,3 +85,17 @@ def test_residual_compact_planes(rng):
     for v in range(V):
         expected = np.diag(lmask[v]) @ basis[v].T @ (m2[v] - m1[v])
         np.testing.assert_allclose(out[v], expected, atol=1e-5)
+
+
+def test_eigh3_planes_matches_eigh_small(rng):
+    from icet_tpu.ops.linalg import eigh_small
+    from icet_tpu.ops.wls_planes import eigh3_planes
+
+    B = rng.normal(size=(200, 3, 3)).astype(np.float32)
+    A = B @ np.swapaxes(B, -1, -2)
+    w_p, V_p = eigh3_planes(jnp.asarray(A))
+    w_s, V_s = eigh_small(jnp.asarray(A))
+    np.testing.assert_allclose(np.asarray(w_p), np.asarray(w_s), atol=1e-3)
+    # Eigenvectors up to sign: compare |dot| of matching columns.
+    dots = np.abs(np.einsum("vik,vik->vk", np.asarray(V_p), np.asarray(V_s)))
+    assert (dots > 0.999).mean() > 0.98  # allow rare degenerate pairs
