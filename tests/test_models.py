@@ -123,3 +123,24 @@ def test_load_pretrained_weights():
     mae = float(jnp.mean(jnp.abs(pred - targets)))
     # Far better than the predict-zero baseline (~0.15 on +-0.3 targets).
     assert mae < 0.12, mae
+
+
+def test_raycast_training_data():
+    from icet_tpu.models.train_data import (
+        make_raycast_voxel_pairs,
+        raycast_batch_iter,
+    )
+
+    s1, s2 = make_raycast_voxel_pairs(
+        n_pairs=1, samples_per_voxel=16, min_pts=10, seed=1,
+        cfg=CFG.replace(moment_method="segsum"),
+    )
+    assert len(s1) > 20 and s1.shape == s2.shape
+    assert s1.shape[1:] == (16, 3)
+    # Aligned pairs: per-voxel means should be close (static scene).
+    d = np.linalg.norm(s1.mean(axis=1) - s2.mean(axis=1), axis=1)
+    assert np.median(d) < 0.3
+
+    it = raycast_batch_iter(s1, s2, jax.random.PRNGKey(0), batch=8)
+    inputs, targets = next(it)
+    assert inputs.shape == (8, 32, 4) and targets.shape == (8, 3)
