@@ -64,12 +64,11 @@ def detect_beam_count(points: np.ndarray, candidates=(16, 32, 64, 128)) -> int |
     points = np.asarray(points, np.float64)
     r = np.linalg.norm(points, axis=1)
     ok = r > 0.2
-    best, best_score = None, np.inf
-    base = None
+    elev = np.arcsin(np.clip(points[:, 2] / np.maximum(r, 1e-9), -1, 1))
+    scores = {}
     for nb in candidates:
         if len(points) % nb:
             continue
-        elev = np.arcsin(np.clip(points[:, 2] / np.maximum(r, 1e-9), -1, 1))
         e = elev.reshape(-1, nb)
         okb = ok.reshape(-1, nb)
         var = 0.0
@@ -77,14 +76,17 @@ def detect_beam_count(points: np.ndarray, candidates=(16, 32, 64, 128)) -> int |
             col = e[:, b][okb[:, b]]
             if len(col) > 10:
                 var += np.var(col)
-        score = var / nb
-        if base is None:
-            base = score
-        if score < best_score:
-            best, best_score = nb, score
-    # Require a clear collapse relative to the smallest candidate's score.
-    if base and best_score < 0.25 * base:
-        return best
+        scores[nb] = var / nb
+    if not scores:
+        return None
+    worst = max(scores.values())
+    if worst <= 0:
+        return None
+    # Any MULTIPLE of the true count also collapses (its columns still hold a
+    # single beam each); take the SMALLEST clearly-collapsed candidate.
+    for nb in sorted(scores):
+        if scores[nb] < 1e-3 * worst:
+            return nb
     return None
 
 
