@@ -1,0 +1,56 @@
+"""Train the perspective-shift bias network and save deployable weights.
+
+Mixes synthetic planar patches with raycast voxel pairs (real perspective
+shift from two sensor poses of the same simulated scene).
+
+Usage: python examples/train_bias_net.py [--steps 1500] [--out weights.npz]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--pairs", type=int, default=6)
+    ap.add_argument(
+        "--out",
+        default=os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "icet_tpu", "models", "weights", "bias_net_s100.npz",
+        ),
+    )
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from icet_tpu.models.train_data import train_bias_net_mixed
+    from icet_tpu.utils.checkpoint import save_checkpoint
+
+    t0 = time.time()
+    model, params, losses, _ = train_bias_net_mixed(
+        steps=args.steps, batch=args.batch, n_pairs=args.pairs
+    )
+    print(
+        f"trained {args.steps} steps in {time.time() - t0:.0f}s; "
+        f"loss {losses[0]:.3f} -> {np.mean(losses[-100:]):.4f}"
+    )
+    params_np = jax.tree_util.tree_map(lambda a: np.asarray(a), params)
+    save_checkpoint(args.out, params_np)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
