@@ -144,7 +144,10 @@ def register_pair_with_dnn(
     disagreeing voxels once, and phase 2 finishes the remaining iterations
     with those voxels masked out of the correspondence set.
     """
-    n_pre = min(cfg.dnn_start_iter, cfg.n_iters)
+    # Total iterations stay within cfg.n_iters (the reference runs the DNN
+    # filter inside the same runlen loop, ICET_spherical.py:288-290): clamp
+    # the pre-filter phase to n_iters - 1 so pre + post == n_iters.
+    n_pre = max(min(cfg.dnn_start_iter, cfg.n_iters - 1), 1)
     n_post = max(cfg.n_iters - n_pre, 1)
 
     model = prepare_reference(scan1, cfg)

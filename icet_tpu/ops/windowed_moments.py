@@ -88,7 +88,12 @@ def windowed_moment_sums(
     table = jnp.concatenate([bounds, anchors], axis=-1)  # (V+1, 5)
     t_pt = table[vids]
     member = ok & (r >= t_pt[:, 0]) & (r <= t_pt[:, 1])
-    g = p2 - t_pt[:, 2:5]
+    # where(), not multiply-by-mask: NaN input coordinates (supported per
+    # cart_to_spherical) give NaN offsets, and NaN * 0 == NaN would poison
+    # the einsum sums while the overflow counter stays 0 (so the lax.cond
+    # fallback never fires).  member is False for NaN points (its range
+    # comparisons are False), so zeroing here is exact.
+    g = jnp.where(member[:, None], p2 - t_pt[:, 2:5], 0.0)
     m = (member.reshape(n_blocks, block) & in_win).astype(jnp.float32)
     gx = g[..., 0].reshape(n_blocks, block) * m
     gy = g[..., 1].reshape(n_blocks, block) * m

@@ -221,6 +221,11 @@ def graph_from_odometry(frames, loop_factors=()) -> tuple[np.ndarray, PoseGraph]
         idx_j.append(k + 1)
         meas.append(f.X)
         stds = np.maximum(np.asarray(f.pred_stds), 1e-4)
+        if getattr(f, "diverged", False):
+            # The divergence guard zeroed this frame's X but pred_stds still
+            # reflects the rejected solve — floor the stds so the zero-motion
+            # factor carries (almost) no weight instead of overconfidence.
+            stds = np.maximum(stds, 1e3)
         info.append(np.diag(1.0 / stds**2))
     for (i, j, x_ij, w) in loop_factors:
         idx_i.append(i)

@@ -255,10 +255,11 @@ def _fused_sums(pts, X, bounds, anchors, cfg: ICETConfig):
 
 def _moment_method(cfg: ICETConfig) -> str:
     if cfg.moment_method == "auto":
-        # On TPU the fused Pallas kernel (ops/pallas_fused.py) collapses the
-        # whole transform+rebin+accumulate pass into one VMEM-resident sweep;
-        # elsewhere (CPU CI) the XLA scatter-add path wins (the fused kernel
-        # would run interpreted).
+        # On TPU "fused" is the windowed XLA path (ops/windowed_moments.py):
+        # transform + rebin + accumulate with per-block voxel-id windows.
+        # (A true Pallas kernel, ops/pallas_fused.py, is kept for when Mosaic
+        # fixes its dynamic-offset bugs but is NOT reachable from here.)
+        # Elsewhere (CPU CI) the XLA scatter-add path wins.
         return "fused" if jax.default_backend() == "tpu" else "segsum"
     return cfg.moment_method
 

@@ -40,6 +40,10 @@ def save_checkpoint(path: str, state: dict) -> None:
 
     ``state`` maps names to arrays / dicts / NamedTuples.  Scalars allowed.
     """
+    # np.savez appends '.npz' to extension-less paths; normalize up front so
+    # the manifest name and load_checkpoint(path) agree with what's on disk.
+    if not path.endswith(".npz"):
+        path = path + ".npz"
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     flat = _flatten(state)
     np.savez_compressed(path, **flat)
@@ -53,6 +57,8 @@ def save_checkpoint(path: str, state: dict) -> None:
 
 def load_checkpoint(path: str) -> dict:
     """Load a flat checkpoint back into a nested dict of numpy arrays."""
+    if not path.endswith(".npz"):
+        path = path + ".npz"
     with np.load(path, allow_pickle=False) as z:
         flat = {k: z[k] for k in z.files}
     out: dict = {}

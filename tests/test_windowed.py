@@ -84,6 +84,22 @@ def test_fused_solver_path_matches_segsum():
     np.testing.assert_allclose(np.asarray(res_f.X)[:2], X_true[:2], atol=0.05)
 
 
+def test_windowed_nan_inputs(scene):
+    """NaN points must be excluded exactly (where-guard), never poison the
+    sums via NaN * 0 while overflow stays 0 (ADVICE r1, medium)."""
+    scan, model = scene
+    corrupted = np.array(scan, np.float32)
+    corrupted[::97] = np.nan  # NaNs sprinkled through every block
+    sums, ovf = windowed_moment_sums(
+        jnp.asarray(corrupted), jnp.zeros(6), model.bounds, model.anchors, CFG
+    )
+    sums = np.asarray(sums)
+    assert np.isfinite(sums).all()
+    # And the result equals the segsum truth on the same corrupted cloud.
+    truth = _segsum_truth(jnp.asarray(corrupted), model, CFG)
+    np.testing.assert_allclose(sums[:, :10], np.asarray(truth)[:, :10], atol=2e-3)
+
+
 def test_beam_major_restride_and_detection():
     scan = simulate_scan(seed=4, n_beams=32, n_azimuth=256)  # beam-major
     # Convert to azimuth-major (as Ouster exports) then detect + restore.
