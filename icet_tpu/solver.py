@@ -219,14 +219,19 @@ def prepare_reference(
 
 
 def _jnp_sums(pts, X, bounds, anchors, cfg: ICETConfig):
-    """Order-independent accumulation (transform + rebin + segsum)."""
+    """Order-independent accumulation (transform + rebin + segsum).
+
+    Range-gates on the RAW cloud (see windowed_moments: the reference strips
+    r < min_range points once before solving, so transformed-r re-gating
+    would resurrect r=0 dropout points at |t| > min_range)."""
     from icet_tpu.ops.moments import voxel_moment_sums
 
+    raw_ok = jnp.linalg.norm(pts, axis=-1) >= cfg.min_range
     p2 = transform_points(pts, X)
     rtp = cart_to_spherical(p2)
     r = rtp[..., 0]
     vid = voxel_ids(rtp, cfg)
-    member = membership(vid, r, r >= cfg.min_range, bounds, cfg.n_voxels)
+    member = membership(vid, r, raw_ok, bounds, cfg.n_voxels)
     return voxel_moment_sums(
         p2, vid, member, anchors, cfg.n_voxels, method="segsum"
     )
@@ -296,10 +301,10 @@ def _iteration(
             sums = jax.lax.psum(sums, axis_name)
         m2 = finalize_moments(sums, model.anchors)
     else:
+        valid_pt2 = jnp.linalg.norm(scan2, axis=-1) >= cfg.min_range
         p2 = transform_points(scan2, X)
         rtp2 = cart_to_spherical(p2)
         r2 = rtp2[..., 0]
-        valid_pt2 = r2 >= cfg.min_range
         vid2 = voxel_ids(rtp2, cfg)
         member2 = membership(vid2, r2, valid_pt2, model.bounds, cfg.n_voxels)
         m2 = voxel_moments(
@@ -449,11 +454,12 @@ def register(
 
     # Scan-2 points inside used (non-moving) voxels at the final estimate
     # (reference cloud2_static, ICET_spherical.py:482-487).
+    raw_ok = jnp.linalg.norm(scan2, axis=-1) >= cfg.min_range
     p2 = transform_points(scan2, X)
     rtp2 = cart_to_spherical(p2)
     vid2 = voxel_ids(rtp2, cfg)
     member2 = membership(
-        vid2, rtp2[..., 0], rtp2[..., 0] >= cfg.min_range, model.bounds, cfg.n_voxels
+        vid2, rtp2[..., 0], raw_ok, model.bounds, cfg.n_voxels
     )
     static_mask = member2 & corr[jnp.where(member2, vid2, cfg.n_voxels)]
 

@@ -1,0 +1,121 @@
+"""Capture + parse an xprof trace of the chained registration on the TPU.
+
+Usage: timeout 600 python tools/trace_solve.py [--chain 20] [--odometry]
+
+Prints the top device ops by total time, scaled to per-solve cost.  Parsing
+goes through tensorflow.tsl's xplane protobuf with the pure-python protobuf
+implementation (the tensorboard plugin converter is broken in this image).
+"""
+
+import argparse
+import glob
+import os
+import sys
+from collections import defaultdict
+
+os.environ["PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION"] = "python"
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chain", type=int, default=20)
+    ap.add_argument("--odometry", action="store_true",
+                    help="trace the fused register+prepare odometry step")
+    ap.add_argument("--top", type=int, default=45)
+    ap.add_argument("--logdir", default="/tmp/icet_trace_r2")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from icet_tpu import ICETConfig
+    from icet_tpu.datasets.loaders import detect_beam_count, to_beam_major
+    from icet_tpu.solver import prepare_reference, register
+
+    scan1 = np.load("/root/reference/src/sample_data/frame_804.npy").astype(np.float32)
+    scan2 = np.load("/root/reference/src/sample_data/frame_805.npy").astype(np.float32)
+    nb = detect_beam_count(scan1) or 64
+    c1 = jax.device_put(to_beam_major(scan1, nb))
+    c2 = jax.device_put(to_beam_major(scan2, nb))
+    x0 = jax.device_put(np.zeros(6, np.float32))
+    jax.block_until_ready((c1, c2, x0))
+    cfg = ICETConfig(n_iters=7)
+    chain = args.chain
+
+    if args.odometry:
+        @jax.jit
+        def g(s1, s2, x):
+            model0 = prepare_reference(s1, cfg)
+
+            def body(carry, _):
+                model, xc = carry
+                res = register(model, s2, xc, cfg)
+                new_model = prepare_reference(s2, cfg)
+                return (new_model, res.X), None
+
+            (model, xf), _ = jax.lax.scan(body, (model0, x), None, length=chain)
+            return xf
+    else:
+        @jax.jit
+        def g(s1, s2, x):
+            model = prepare_reference(s1, cfg)
+
+            def body(xc, _):
+                return register(model, s2, xc, cfg).X, None
+
+            xf, _ = jax.lax.scan(body, x, None, length=chain)
+            return xf
+
+    x = np.asarray(g(c1, c2, x0))  # compile + warm
+    assert np.isfinite(x).all(), x
+    print("warm X:", np.round(x, 4))
+
+    os.makedirs(args.logdir, exist_ok=True)
+    jax.profiler.start_trace(args.logdir)
+    np.asarray(g(c1, c2, x0))
+    jax.profiler.stop_trace()
+
+    paths = sorted(glob.glob(args.logdir + "/**/*.xplane.pb", recursive=True))
+    assert paths, f"no xplane under {args.logdir}"
+    parse(paths[-1], chain, args.top)
+    return 0
+
+
+def parse(path: str, chain: int, top: int) -> None:
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    space = xplane_pb2.XSpace()
+    with open(path, "rb") as f:
+        space.ParseFromString(f.read())
+
+    for plane in space.planes:
+        if "TPU" not in plane.name or "#Chip" not in plane.name.replace(" ", ""):
+            if not plane.name.startswith("/device:TPU"):
+                continue
+        meta = {m.id: m.name for m in plane.event_metadata.values()}
+        totals = defaultdict(float)
+        counts = defaultdict(int)
+        plane_total = 0.0
+        for line in plane.lines:
+            if "XLA Op" not in line.name and "Ops" not in line.name:
+                continue
+            for ev in line.events:
+                name = meta.get(ev.metadata_id, "?")
+                dur_us = ev.duration_ps / 1e6
+                totals[name] += dur_us
+                counts[name] += 1
+                plane_total += dur_us
+        if not totals:
+            continue
+        print(f"\n=== plane {plane.name}: total {plane_total/1e3:.3f} ms "
+              f"({plane_total/chain:.1f} us/solve over chain={chain}) ===")
+        rows = sorted(totals.items(), key=lambda kv: -kv[1])[:top]
+        for name, us in rows:
+            print(f"{us/chain:9.1f} us/solve  x{counts[name]:5d}  {name[:110]}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
