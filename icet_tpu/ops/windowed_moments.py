@@ -4,38 +4,46 @@ The accumulation's irreducible cost is the one-hot contraction, which XLA
 fuses on the VPU (regenerating the one-hot in registers — it never touches
 HBM); its cost therefore scales with ``points x window``.  Spinning-lidar
 scans arrive in azimuth-sweep order, so a small block of consecutive points
-touches only a narrow contiguous band of voxel ids:
+touches only a narrow band of voxel ids — but the band is narrow in the 2-D
+``(iphi row, theta column)`` grid coordinate, NOT in the flat voxel id
+``vid = iphi * n_theta + itheta``:
 
-* within one beam a ``block``-point run spans ``~block/az_per_beam * n_theta``
-  ids (the azimuth sweep),
-* the theta wrap (theta hits 0/2pi mid-beam) adds at most ``n_theta`` (iphi
-  is unchanged across the wrap since ``vid = iphi*n_theta + itheta``),
-* a beam crossing adds ``~n_theta`` only when combined with the sweep tail,
-* the iteration transform jitters ids by a few bins (near points by more),
+* within one beam a ``block``-point run sweeps a contiguous azimuth arc
+  (~``block/az_per_beam * n_theta`` theta columns),
+* the theta wrap (theta crosses 0/2pi mid-beam) is a MODULAR continuation —
+  flat ids jump by ``n_theta`` but ``(itheta - t0) mod n_theta`` stays small,
+* the iteration transform jitters ``itheta`` by a few bins and ``iphi`` by
+  at most ~1 row (beam elevations sitting near a phi-bin edge).
 
-so for the canonical 75x24 grid a 256-point block spans <= ~95 ids
-(75 wrap + ~19 sweep) after transform jitter, and a 128-id window with
-16-aligned starts (quantisation adds <= 15) covers it with margin.  Window
-<= 128 matters: VPU lane tiles are 128 wide, so a 129-wide window costs
-like 256.
+The window is therefore 2-D and theta-modular: ``phi_rows`` consecutive iphi
+rows x ``theta_cols`` modular theta columns.  At the canonical 75x24 grid,
+2 rows x 64 columns = a 128-wide one-hot (one VPU lane tile) that measured
+ZERO overflow on the bundled frames in both registration directions, at
+converged and 1 m-magnitude transforms — whereas a flat-id window of the
+same width overflows whenever a wrap block also contains an iphi-jittered
+point (span ~ n_theta + sweep > 128), silently triggering the 2x-cost
+fallback every iteration (+3 ms/frame on the odometry benchmark).
 
 Three passes, all dense:
 
-1. prepass: transform + spherical conversion + voxel ids + per-block
-   32-aligned window starts + the overflow count of valid points whose id
-   falls outside their block's window (one fused elementwise chain),
+1. prepass: transform + spherical conversion + (iphi, itheta) + per-block
+   window anchors — ``t0`` picked by max point coverage over the
+   ``nt_pad/slot`` slot-aligned modular starts, ``p0`` by coverage between
+   ``{pmin, pmin+1}`` — + the overflow count of valid points outside their
+   block's window (one fused elementwise chain; theta is padded to
+   ``nt_pad`` = next multiple of ``slot`` so every window is whole slots),
 2. two batched one-hot einsums per block — a (block, window) x (window, 5)
-   GATHER of the merged bounds+anchors table (replaces the slow per-point
+   GATHER of the merged bounds+anchors table (replaces a slow per-point
    65k-row table gather) and the (window, block) x (block, 10) moment
    CONTRACTION — both stay VPU fusions.  (Measured alternative: real MXU
    dot_generals over a materialised bf16 one-hot with 3-way-split packed
    operands were ~20% SLOWER end-to-end — the batched tiny matmuls pad N
    to 128 and pay the one-hot HBM round-trip; XLA's compare-regenerating
    VPU fusion wins at window <= 128.),
-3. a slot-aligned merge: window starts are multiples of ``slot``, so each
-   block's partial sums split into ``window/slot`` aligned slot rows and one
-   tiny (n_blocks * window/slot)-row segment-sum assembles the global table
-   (replaces the row-serialising 8k-row scatter-add).
+3. a slot-aligned merge: each block window is ``phi_rows * theta_cols/slot``
+   whole slots of the padded (n_phi, nt_pad) grid, so one tiny
+   segment-sum over slot rows assembles the global table (replaces a
+   row-serialising scatter-add), then the theta padding is sliced off.
 
 Correct ONLY when overflow == 0; the solver falls back to the dense path via
 lax.cond otherwise (shuffled/unordered clouds stay correct, just slower).
@@ -60,7 +68,7 @@ _HI = jax.lax.Precision.HIGHEST
 _N_FEATURES = 16
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
 def windowed_moment_sums(
     pts: jax.Array,
     X: jax.Array,
@@ -68,16 +76,21 @@ def windowed_moment_sums(
     anchors: jax.Array,
     cfg: ICETConfig,
     block: int = 256,
-    window: int = 128,
+    phi_rows: int = 2,
+    theta_cols: int = 64,
     slot: int = 16,
 ) -> tuple[jax.Array, jax.Array]:
     """Returns ((V+1, 16) anchored moment sums, overflow count)."""
-    assert window % slot == 0
+    assert theta_cols % slot == 0
     n = pts.shape[0]
+    n_theta, n_phi = cfg.n_theta, cfg.n_phi
     v1 = cfg.n_voxels + 1
-    # Table padding: every slot-aligned window slice must stay in range.
-    v_pad = max(-(-v1 // slot) * slot, window)
-    ws = window // slot
+    nt_pad = -(-n_theta // slot) * slot
+    tcols = min(theta_cols, nt_pad)
+    rows = min(phi_rows, n_phi)
+    window = rows * tcols
+    tslots = tcols // slot
+    nts = nt_pad // slot
     pad_n = (-n) % block
     if pad_n:
         pts = jnp.concatenate([pts, jnp.zeros((pad_n, 3), pts.dtype)])
@@ -94,25 +107,53 @@ def windowed_moment_sums(
     vid = voxel_ids(rtp, cfg)
     ok = raw_ok & (vid < cfg.n_voxels)
 
-    vb = vid.reshape(nb, block)
     okb = ok.reshape(nb, block)
-    big = jnp.int32(2**30)
-    vmin = jnp.min(jnp.where(okb, vb, big), axis=1)
-    vmin = jnp.where(vmin == big, 0, vmin)
-    starts = jnp.clip((vmin // slot) * slot, 0, v_pad - window)  # (nb,)
+    ip = (vid // n_theta).reshape(nb, block)
+    it = (vid % n_theta).reshape(nb, block)
 
-    local = vb - starts[:, None]
-    in_win = okb & (local >= 0) & (local < window)
+    # Theta anchor: the slot-aligned modular start with max point coverage.
+    cand_t = jnp.arange(nts, dtype=jnp.int32) * slot  # (nts,)
+    cov_t = jnp.sum(
+        (okb[None] & (((it[None] - cand_t[:, None, None]) % nt_pad) < tcols)),
+        axis=2,
+        dtype=jnp.int32,
+    )  # (nts, nb)
+    t0 = cand_t[jnp.argmax(cov_t, axis=0)]  # (nb,)
+
+    # Phi anchor: best of {pmin, pmin+1} by coverage (a single low-jittered
+    # point must not drag the rows off the bulk).
+    big = jnp.int32(2**30)
+    pmin = jnp.min(jnp.where(okb, ip, big), axis=1)
+    pmin = jnp.where(pmin == big, 0, pmin)
+    p_hi = jnp.minimum(pmin + 1, max(n_phi - rows, 0))
+    pmin = jnp.minimum(pmin, max(n_phi - rows, 0))
+
+    def _cov_p(p0):
+        return jnp.sum(
+            okb & (ip >= p0[:, None]) & (ip < p0[:, None] + rows),
+            axis=1,
+            dtype=jnp.int32,
+        )
+
+    p0 = jnp.where(_cov_p(p_hi) > _cov_p(pmin), p_hi, pmin)  # (nb,)
+
+    j = ip - p0[:, None]
+    k = (it - t0[:, None]) % nt_pad
+    in_win = okb & (j >= 0) & (j < rows) & (k < tcols)
+    local = j * tcols + k  # window column when in_win
     overflow = jnp.sum((okb & ~in_win).astype(jnp.int32))
 
-    # Window-slot gather of the merged bounds+anchors table: nb*ws slot rows
-    # instead of one row per point.
+    # Merged bounds+anchors table, theta-padded so windows are whole slots.
     table = jnp.concatenate([bounds, anchors], axis=-1)  # (V+1, 5)
-    table = jnp.concatenate(
-        [table, jnp.zeros((v_pad - v1, 5), table.dtype)], axis=0
-    )
-    slots_t = table.reshape(v_pad // slot, slot, 5)
-    sub_ids = starts[:, None] // slot + jnp.arange(ws, dtype=jnp.int32)[None, :]
+    table_grid = table[: n_phi * n_theta].reshape(n_phi, n_theta, 5)
+    table_grid = jnp.pad(table_grid, ((0, 0), (0, nt_pad - n_theta), (0, 0)))
+    slots_t = table_grid.reshape(n_phi * nts, slot, 5)
+    # Window slot ids in the padded grid: rows x modular theta slots.
+    row_ids = p0[:, None, None] + jnp.arange(rows, dtype=jnp.int32)[None, :, None]
+    col_ids = (
+        t0[:, None, None] // slot + jnp.arange(tslots, dtype=jnp.int32)[None, None, :]
+    ) % nts
+    sub_ids = (row_ids * nts + col_ids).reshape(nb, rows * tslots)
     table_win = slots_t[sub_ids].reshape(nb, window, 5)
 
     cols = jnp.arange(window, dtype=jnp.int32)
@@ -140,12 +181,16 @@ def windowed_moment_sums(
     )  # (nb, block, 10)
     partial = jnp.einsum("bpw,bpf->bwf", onehot, feats, precision=_HI)
 
-    # Slot-aligned merge: each block's window is ws aligned slot rows.
-    pr = partial.reshape(nb * ws, slot * 10)
+    # Slot-aligned merge over the padded grid, then strip the theta padding.
+    pr = partial.reshape(nb * rows * tslots, slot * 10)
     sums_slots = jax.ops.segment_sum(
-        pr, sub_ids.reshape(-1), num_segments=v_pad // slot
+        pr, sub_ids.reshape(-1), num_segments=n_phi * nts
     )
-    sums10 = sums_slots.reshape(v_pad, 10)[:v1]
+    sums_grid = sums_slots.reshape(n_phi, nt_pad, 10)[:, :n_theta]
+    sums10 = jnp.concatenate(
+        [sums_grid.reshape(n_phi * n_theta, 10), jnp.zeros((1, 10), jnp.float32)],
+        axis=0,
+    )
     sums = jnp.concatenate(
         [sums10, jnp.zeros((v1, _N_FEATURES - 10), jnp.float32)], axis=-1
     )
