@@ -17,12 +17,16 @@ touches only a narrow band of voxel ids — but the band is narrow in the 2-D
 
 The window is therefore 2-D and theta-modular: ``phi_rows`` consecutive iphi
 rows x ``theta_cols`` modular theta columns.  At the canonical 75x24 grid,
-2 rows x 64 columns = a 128-wide one-hot (one VPU lane tile) that measured
-ZERO overflow on the bundled frames in both registration directions, at
-converged and 1 m-magnitude transforms — whereas a flat-id window of the
-same width overflows whenever a wrap block also contains an iphi-jittered
-point (span ~ n_theta + sweep > 128), silently triggering the 2x-cost
-fallback every iteration (+3 ms/frame on the odometry benchmark).
+2 rows x 48 columns = a 96-wide one-hot that measured ZERO overflow on the
+bundled frames in both registration directions, at converged and
+1 m-magnitude transforms (measured modular spans are <= 25 theta bins incl.
+wrap blocks; budget = 48 - 15 slot quantisation = 33) — whereas a flat-id
+window overflows whenever a wrap block also contains an iphi-jittered point
+(span ~ n_theta + sweep > 128), silently triggering the 2x-cost fallback
+every iteration (+3 ms/frame on the odometry benchmark).  Narrower windows
+are faster (one-hot cost ~ points x window: 0.32 ms/call at 2x64, 0.14 at
+2x48, 0.12 at 2x32 on v5e) but 2x32's span budget (32-7) sits exactly at
+the measured worst span, so 2x48 is the default.
 
 Three passes, all dense:
 
@@ -77,7 +81,7 @@ def windowed_moment_sums(
     cfg: ICETConfig,
     block: int = 256,
     phi_rows: int = 2,
-    theta_cols: int = 64,
+    theta_cols: int = 48,
     slot: int = 16,
 ) -> tuple[jax.Array, jax.Array]:
     """Returns ((V+1, 16) anchored moment sums, overflow count)."""
