@@ -9,6 +9,7 @@ robustness-filter layers that sit around the solver.
 """
 
 from icet_tpu.config import ICETConfig, MapConfig, OdometryConfig, PROFILES
+from icet_tpu.filters import register_scans
 from icet_tpu.mapping import MapMaker
 from icet_tpu.odometry import OdometryPipeline, run_odometry
 from icet_tpu.scan_matcher import ScanMatcher
@@ -42,4 +43,5 @@ __all__ = [
     "register",
     "register_jit",
     "register_pair",
+    "register_scans",
 ]

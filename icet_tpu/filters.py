@@ -129,6 +129,43 @@ def dnn_reject_mask(
     )
 
 
+_PRETRAINED_CACHE: dict[int, tuple] = {}
+
+
+def register_scans(
+    scan1: jax.Array,
+    scan2: jax.Array,
+    x0: jax.Array | None = None,
+    cfg: ICETConfig | None = None,
+) -> RegistrationResult:
+    """Config-driven scan-pair registration entry point.
+
+    Honors ``cfg.dnn_filter`` (the reference's ``DNN_filter`` ctor flag,
+    ICET_spherical.py:21,288): when set, the bundled pretrained bias network
+    is loaded (cached per sample count) and registration runs with the
+    perspective-shift rejection engaged via ``register_pair_with_dnn``;
+    otherwise this is exactly ``solver.register_pair``.
+    """
+    from icet_tpu.config import ICETConfig as _Cfg
+
+    cfg = cfg or _Cfg()
+    if x0 is None:
+        x0 = jnp.zeros(6, jnp.float32)
+    if not cfg.dnn_filter:
+        from icet_tpu.solver import register_pair
+
+        return register_pair(scan1, scan2, x0, cfg)
+    if cfg.dnn_sample_pts not in _PRETRAINED_CACHE:
+        from icet_tpu.models.bias_net import load_pretrained
+
+        _PRETRAINED_CACHE[cfg.dnn_sample_pts] = load_pretrained(
+            cfg.dnn_sample_pts
+        )
+    net, params = _PRETRAINED_CACHE[cfg.dnn_sample_pts]
+    res, _ = register_pair_with_dnn(scan1, scan2, x0, cfg, net, params)
+    return res
+
+
 @functools.partial(jax.jit, static_argnums=(3, 4))
 def register_pair_with_dnn(
     scan1: jax.Array,

@@ -24,7 +24,7 @@ import numpy as np
 
 from icet_tpu.config import ICETConfig, MapConfig, OdometryConfig
 from icet_tpu.ops.geometry import euler_R
-from icet_tpu.solver import prepare_reference_jit, register_jit
+from icet_tpu.solver import prepare_reference_jit
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -47,8 +47,7 @@ def init_map(map_cfg: MapConfig, trail_capacity: int = 4096) -> MapState:
     )
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5), donate_argnums=(0,))
-def map_update(
+def _map_update_impl(
     state: MapState,
     scan: jax.Array,
     X: jax.Array,
@@ -63,10 +62,6 @@ def map_update(
     the previous frame) is re-expressed in the new frame via the inverse
     transform, matching reference EigenQueue::add_new_scan
     (simpleMapMaker.cpp:34-41): ``p_new = R^T (p_prev - t)``.
-
-    ``state`` is DONATED: its device buffers are reused in place (the 600k x 3
-    ring would otherwise be copied every frame).  Do not read the old state
-    after calling; rebind as ``state = map_update(state, ...)``.
     """
     rot = euler_R(-X[3:6])  # p_prev = rot @ p_new + t
     # Re-express stored points and trail in the new frame.
@@ -106,6 +101,54 @@ def map_update(
         points=pts, valid=valid, write_ptr=write_ptr, trail=trail,
         trail_len=trail_len,
     )
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5), donate_argnums=(0,))
+def map_update(
+    state: MapState,
+    scan: jax.Array,
+    X: jax.Array,
+    key: jax.Array,
+    map_cfg: MapConfig,
+    min_range: float = 0.2,
+) -> MapState:
+    """Jitted standalone map advance.  ``state`` is DONATED: its device
+    buffers are reused in place (the 600k x 3 ring would otherwise be copied
+    every frame).  Do not read the old state after calling; rebind as
+    ``state = map_update(state, ...)``."""
+    return _map_update_impl(state, scan, X, key, map_cfg, min_range)
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6), donate_argnums=(1,))
+def map_step_jit(
+    model,
+    state: MapState,
+    scan: jax.Array,
+    key: jax.Array,
+    divergence_clamp: jax.Array,
+    cfg: ICETConfig,
+    map_cfg: MapConfig,
+):
+    """Fused mapping step: ONE device dispatch per mapped frame.
+
+    Registers the scan against the previous frame's voxel model, applies the
+    divergence guard (any ``|X_i| > clamp`` zeroes the solution,
+    simpleMapMaker.cpp:129-137) as a masked select inside jit, folds the scan
+    into the donated ring map, and fits the scan's own voxel model for the
+    next frame — replacing the register + map_update + prepare trio (three
+    dispatches; at 30-150 ms tunnel latency per dispatch that dominated wall
+    time).  Mirrors ``solver.odometry_step_jit``.
+
+    Returns ``(res, X_guarded, diverged, new_state, new_model)``.
+    """
+    from icet_tpu.solver import prepare_reference, register
+
+    res = register(model, scan, jnp.zeros(6, jnp.float32), cfg)
+    diverged = jnp.any(jnp.abs(res.X) > divergence_clamp)
+    X = jnp.where(diverged, jnp.zeros(6, jnp.float32), res.X)
+    new_state = _map_update_impl(state, scan, X, key, map_cfg, cfg.min_range)
+    new_model = prepare_reference(scan, cfg)
+    return res, X, diverged, new_state, new_model
 
 
 @dataclasses.dataclass
@@ -153,26 +196,20 @@ class MapMaker:
             return None
 
         # The mapping node cold-starts every solve from X0 = 0
-        # (simpleMapMaker.cpp:113-119).
-        res = register_jit(
-            self._model, scan_dev, jnp.zeros(6, jnp.float32), self.cfg
-        )
-        X = res.X
-        diverged = bool(jnp.any(jnp.abs(X) > self.odo_cfg.divergence_clamp))
-        if diverged:
-            X = jnp.zeros(6, jnp.float32)
-
+        # (simpleMapMaker.cpp:113-119).  One fused dispatch: register +
+        # divergence guard + ring insert + next-frame prepare.
         self._key, sub = jax.random.split(self._key)
-        self.state = map_update(
-            self.state, scan_dev, X, sub, self.map_cfg, self.cfg.min_range
+        res, X, diverged, self.state, self._model = map_step_jit(
+            self._model, self.state, scan_dev, sub,
+            jnp.float32(self.odo_cfg.divergence_clamp),
+            self.cfg, self.map_cfg,
         )
-        self._model = prepare_reference_jit(scan_dev, self.cfg)
 
         frame = MapFrame(
             index=self._index,
             X=np.asarray(X),
             pred_stds=np.asarray(res.pred_stds),
-            diverged=diverged,
+            diverged=bool(diverged),
             n_map_points=int(np.asarray(self.state.valid).sum()),
         )
         self._index += 1

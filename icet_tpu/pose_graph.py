@@ -65,9 +65,12 @@ def _factor_residual(x_i, x_j, meas):
     return jnp.concatenate([r[:3], _wrap(r[3:])])
 
 
-def _build_normals(states, graph: PoseGraph, prior_weight):
-    """Assemble the (6K, 6K) Gauss-Newton normal equations."""
-    K = states.shape[0]
+def _factor_blocks(states, graph: PoseGraph):
+    """Per-factor normal-equation contributions, vmapped over all factors.
+
+    Returns ``blocks (F, 4, 6, 6)`` — the [ii, ij, ji, jj] 6x6 blocks — and
+    ``rhs (F, 2, 6)`` — the [i, j] gradient pieces.
+    """
 
     def one(fi, fj, meas, info):
         xi = states[fi]
@@ -82,7 +85,14 @@ def _build_normals(states, graph: PoseGraph, prior_weight):
         rhs = jnp.stack([Ji.T @ (info @ r), Jj.T @ (info @ r)])  # (2, 6)
         return blocks, rhs
 
-    blocks, rhs = jax.vmap(one)(graph.idx_i, graph.idx_j, graph.meas, graph.info)
+    return jax.vmap(one)(graph.idx_i, graph.idx_j, graph.meas, graph.info)
+
+
+def _build_normals(states, graph: PoseGraph, prior_weight):
+    """Assemble the (6K, 6K) Gauss-Newton normal equations."""
+    K = states.shape[0]
+
+    blocks, rhs = _factor_blocks(states, graph)
 
     H = jnp.zeros((K, K, 6, 6), states.dtype)
     bi, bj = graph.idx_i, graph.idx_j
@@ -138,6 +148,105 @@ def optimize_poses(
     Returns the optimized (K, 6) states; pose 0 is gauge-fixed.
     """
     return _gn_iterations(states0, graph, n_iters, damping, prior_weight)
+
+
+def _sparse_gn_step(states, graph, prior_weight, damping, cg_iters):
+    """One Gauss-Newton step without ever densifying H.
+
+    The (6K, 6K) system is applied factor-by-factor (block-sparse matvec) and
+    solved with block-Jacobi-preconditioned conjugate gradients — O(F) work
+    per CG iteration instead of the O(K^2) dense build + O(K^3) Cholesky, the
+    city-scale path (SURVEY §2.3 names Schur/sparse structure as the target;
+    for a pose-only graph the block-sparse normal equations ARE the reduced
+    system, there are no landmarks to eliminate).
+    """
+    K = states.shape[0]
+    eye6 = jnp.eye(6, dtype=states.dtype)
+    blocks, rhs = _factor_blocks(states, graph)
+    bi, bj = graph.idx_i, graph.idx_j
+
+    b = jnp.zeros((K, 6), states.dtype)
+    b = b.at[bi].add(rhs[:, 0]).at[bj].add(rhs[:, 1])
+
+    diag = jnp.zeros((K, 6, 6), states.dtype)
+    diag = diag.at[bi].add(blocks[:, 0]).at[bj].add(blocks[:, 3])
+    diag = diag.at[0].add(prior_weight * eye6)
+    # Same damping scale as the dense path: damping * trace(H) / (6K).
+    scale = damping * jnp.sum(jax.vmap(jnp.trace)(diag)) / (6 * K)
+    diag_d = diag + scale * eye6
+
+    off_ij = blocks[:, 1]
+    off_ji = blocks[:, 2]
+
+    def matvec(v):
+        out = jnp.einsum("kab,kb->ka", diag_d, v, precision=_HI)
+        out = out.at[bi].add(
+            jnp.einsum("fab,fb->fa", off_ij, v[bj], precision=_HI)
+        )
+        out = out.at[bj].add(
+            jnp.einsum("fab,fb->fa", off_ji, v[bi], precision=_HI)
+        )
+        return out
+
+    # Block-Jacobi preconditioner: one batched 6x6 Cholesky, reused all CG.
+    chol = jnp.linalg.cholesky(diag_d)
+
+    def precond(r):
+        y = jax.scipy.linalg.solve_triangular(chol, r[..., None], lower=True)
+        z = jax.scipy.linalg.solve_triangular(
+            jnp.swapaxes(chol, -1, -2), y, lower=False
+        )
+        return z[..., 0]
+
+    rhs0 = -b
+    x = jnp.zeros_like(rhs0)
+    r = rhs0
+    z = precond(r)
+    p = z
+    rz = jnp.vdot(r, z)
+
+    def body(carry, _):
+        x, r, z, p, rz = carry
+        Hp = matvec(p)
+        alpha = rz / jnp.maximum(jnp.vdot(p, Hp), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * Hp
+        z = precond(r)
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = z + beta * p
+        return (x, r, z, p, rz_new), None
+
+    (x, r, _, _, _), _ = jax.lax.scan(
+        body, (x, r, z, p, rz), None, length=cg_iters
+    )
+    return states + x, jnp.linalg.norm(x)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def optimize_poses_sparse(
+    states0: jax.Array,
+    graph: PoseGraph,
+    n_iters: int = 10,
+    cg_iters: int = 100,
+    damping: float = 1e-6,
+    prior_weight: float = 1e8,
+) -> jax.Array:
+    """Block-sparse Gauss-Newton pose-graph refinement (PCG inner solver).
+
+    Same semantics as ``optimize_poses`` but never builds the dense (6K, 6K)
+    system — use this beyond ~1k poses (10k poses optimize in seconds on
+    CPU, and the per-iteration work is all batched 6-vector math that
+    vectorizes cleanly on TPU).
+    """
+
+    def step(states, _):
+        return _sparse_gn_step(
+            states, graph, prior_weight, damping, cg_iters
+        )
+
+    states, _ = jax.lax.scan(step, states0, None, length=n_iters)
+    return states
 
 
 def optimize_poses_sharded(
@@ -246,20 +355,36 @@ def detect_loop_candidates(
     positions: np.ndarray, radius: float = 3.0, min_gap: int = 10
 ) -> list[tuple[int, int]]:
     """Index pairs whose poses are near in space but far in time — candidate
-    loop closures to verify by re-registration."""
-    out = []
-    n = len(positions)
+    loop closures to verify by re-registration.
+
+    Spatial-hash search: positions bucket into cells of side ``radius``, and
+    each pose compares only against the 3^d neighboring cells — O(n) for
+    bounded pose density (the previous all-pairs scan was O(n^2), hopeless
+    for city-scale trajectories).  Keeps the tightest candidate per ``i`` to
+    bound re-registration work.
+    """
+    positions = np.asarray(positions, np.float64)
+    n, d = positions.shape
+    cells = np.floor(positions / radius).astype(np.int64)
+    grid: dict[tuple, list[int]] = {}
+    for k in range(n):
+        grid.setdefault(tuple(cells[k]), []).append(k)
+
+    offsets = np.stack(
+        np.meshgrid(*([np.arange(-1, 2)] * d), indexing="ij"), axis=-1
+    ).reshape(-1, d)
+
+    best: dict[int, tuple[int, float]] = {}
     for i in range(n):
-        for j in range(i + min_gap, n):
-            if np.linalg.norm(positions[i] - positions[j]) < radius:
-                out.append((i, j))
-    # Keep the tightest candidate per i to bound re-registration work.
-    best = {}
-    for i, j in out:
-        d = np.linalg.norm(positions[i] - positions[j])
-        if i not in best or d < best[i][1]:
-            best[i] = (j, d)
-    return [(i, j) for i, (j, _) in best.items()]
+        base = cells[i]
+        for off in offsets:
+            for j in grid.get(tuple(base + off), ()):
+                if j < i + min_gap:
+                    continue
+                dist = float(np.linalg.norm(positions[i] - positions[j]))
+                if dist < radius and (i not in best or dist < best[i][1]):
+                    best[i] = (j, dist)
+    return [(i, j) for i, (j, _) in sorted(best.items())]
 
 
 def close_loops(

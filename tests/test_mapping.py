@@ -68,6 +68,59 @@ def test_map_update_short_scan_marks_invalid():
     assert int(np.asarray(state.valid).sum()) == 300
 
 
+def test_map_step_jit_matches_unfused_trio():
+    """The fused single-dispatch mapping step must reproduce the unfused
+    register -> guard -> map_update -> prepare sequence bit-for-bit."""
+    from icet_tpu.mapping import map_step_jit
+    from icet_tpu.solver import prepare_reference_jit, register_jit
+
+    src = SyntheticTrajectorySource(
+        n_frames=2, speed=0.3, yaw_rate=0.01, n_beams=48, n_azimuth=512
+    )
+    (scan0, _), (scan1, _) = list(src)
+    scan0 = jnp.asarray(scan0, jnp.float32)
+    scan1 = jnp.asarray(scan1, jnp.float32)
+    key = jax.random.PRNGKey(7)
+    clamp = jnp.float32(0.9)
+
+    model = prepare_reference_jit(scan0, CFG)
+    state = init_map(MCFG)
+    state = map_update(state, scan0, jnp.zeros(6), key, MCFG, CFG.min_range)
+
+    # Unfused path (state buffers are donated, so build a fresh copy).
+    res_u = register_jit(model, scan1, jnp.zeros(6, jnp.float32), CFG)
+    X_u = np.asarray(res_u.X)
+    assert np.all(np.abs(X_u) <= 0.9), "fixture should not trip the guard"
+    state_u = map_update(
+        jax.tree.map(jnp.copy, state), scan1, res_u.X, key, MCFG,
+        CFG.min_range,
+    )
+
+    res_f, X_f, diverged, state_f, model_f = map_step_jit(
+        model, jax.tree.map(jnp.copy, state), scan1, key, clamp, CFG, MCFG
+    )
+    assert not bool(diverged)
+    np.testing.assert_array_equal(np.asarray(X_f), X_u)
+    np.testing.assert_array_equal(
+        np.asarray(state_f.points), np.asarray(state_u.points)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(state_f.valid), np.asarray(state_u.valid)
+    )
+    model_direct = prepare_reference_jit(scan1, CFG)
+    np.testing.assert_array_equal(
+        np.asarray(model_f.mean), np.asarray(model_direct.mean)
+    )
+
+    # Divergence guard: a tiny clamp zeroes X and inserts with identity.
+    res_g, X_g, diverged_g, _, _ = map_step_jit(
+        model, jax.tree.map(jnp.copy, state), scan1, key,
+        jnp.float32(1e-6), CFG, MCFG,
+    )
+    assert bool(diverged_g)
+    np.testing.assert_array_equal(np.asarray(X_g), np.zeros(6, np.float32))
+
+
 def test_mapmaker_accumulates_consistent_map():
     src = SyntheticTrajectorySource(
         n_frames=5, speed=0.2, yaw_rate=0.0, n_beams=48, n_azimuth=512

@@ -118,6 +118,100 @@ def test_optimize_recovers_exact_graph(rng):
     np.testing.assert_allclose(opt, states0, atol=2e-3)
 
 
+def test_sparse_matches_dense(rng):
+    """Block-sparse PCG refinement must agree with the dense Cholesky path."""
+    from icet_tpu.pose_graph import optimize_poses_sparse
+
+    s_true = _make_circle(K=12)
+    graph = _noisy_graph(s_true, rng, loops=[(0, 11), (1, 10)])
+    states0 = jnp.asarray(_integrate(graph, 12))
+    dense = np.asarray(optimize_poses(states0, graph, 10))
+    sparse = np.asarray(optimize_poses_sparse(states0, graph, 10, 120))
+    np.testing.assert_allclose(sparse, dense, atol=2e-3)
+
+
+def test_sparse_scales_to_10k_poses(rng):
+    """A 10k-pose graph with loop closures optimizes in seconds on CPU and
+    actually reduces trajectory error (the dense path would need a 60k x 60k
+    Cholesky here)."""
+    import time
+
+    from icet_tpu.pose_graph import optimize_poses_sparse
+
+    K = 10_000
+    # Long drive: 10 laps of a 50 m circle, so every pose is revisited and
+    # inter-lap loop factors can observe (most of) the drift.
+    a = np.linspace(0, 20 * np.pi, K).astype(np.float64)
+    t = np.stack(
+        [50 * np.cos(a), 50 * np.sin(a), np.zeros(K)], axis=1
+    )
+    s_true = np.concatenate(
+        [t, np.zeros((K, 2)), -a[:, None]], axis=1
+    ).astype(np.float32)
+
+    rng_l = np.random.default_rng(3)
+    idx_i = list(range(K - 1))
+    idx_j = list(range(1, K))
+    meas = []
+    info = []
+    t_noise, a_noise = 0.02, 0.002
+    for k in range(K - 1):
+        m = np.array(_rel_state(s_true[k], s_true[k + 1]))
+        m[:3] += rng_l.normal(0, t_noise, 3)
+        m[3:] += rng_l.normal(0, a_noise, 3)
+        meas.append(m)
+        info.append(np.diag([1 / t_noise**2] * 3 + [1 / a_noise**2] * 3))
+    # Loop factors between consecutive laps (1000 poses/lap, every 100).
+    for k in range(0, K - 1000, 100):
+        i, j = k, k + 1000
+        meas.append(_rel_state(s_true[i], s_true[j]))
+        idx_i.append(i)
+        idx_j.append(j)
+        info.append(np.diag([1e4] * 3 + [1e6] * 3))
+    graph = PoseGraph(
+        idx_i=jnp.asarray(np.asarray(idx_i, np.int32)),
+        idx_j=jnp.asarray(np.asarray(idx_j, np.int32)),
+        meas=jnp.asarray(np.stack(meas).astype(np.float32)),
+        info=jnp.asarray(np.stack(info).astype(np.float32)),
+    )
+    states0 = jnp.asarray(_integrate(graph, K))
+
+    from icet_tpu.pose_graph import optimize_poses_sparse as ops_sparse
+
+    opt = np.asarray(ops_sparse(states0, graph, 10, 400))  # warm-up + compile
+    start = time.perf_counter()
+    opt = np.asarray(ops_sparse(states0, graph, 10, 400))
+    elapsed = time.perf_counter() - start
+    assert elapsed < 30.0, f"10k-pose solve took {elapsed:.1f}s"
+
+    # Truth relative to pose 0 (gauge).
+    T0 = np.asarray(pose_matrix(jnp.asarray(s_true[0])))
+    rel_true = np.stack([
+        np.asarray(pose_to_state(jnp.asarray(
+            np.linalg.inv(T0) @ np.asarray(pose_matrix(jnp.asarray(s)))
+        ))) for s in s_true
+    ])
+    err0 = np.linalg.norm(np.asarray(states0)[:, :3] - rel_true[:, :3], axis=1)
+    err1 = np.linalg.norm(opt[:, :3] - rel_true[:, :3], axis=1)
+    assert err1.mean() < err0.mean() * 0.5, (err0.mean(), err1.mean())
+
+
+def test_detect_loop_candidates_matches_bruteforce(rng):
+    """Spatial-hash candidate search returns exactly the all-pairs answer."""
+    pos = rng.normal(0, 12.0, (400, 3))
+    radius, min_gap = 3.0, 10
+
+    best = {}
+    for i in range(len(pos)):
+        for j in range(i + min_gap, len(pos)):
+            d = np.linalg.norm(pos[i] - pos[j])
+            if d < radius and (i not in best or d < best[i][1]):
+                best[i] = (j, d)
+    brute = [(i, j) for i, (j, _) in sorted(best.items())]
+
+    assert detect_loop_candidates(pos, radius, min_gap) == brute
+
+
 def test_states_poses_roundtrip(rng):
     s = rng.normal(0, 0.4, (5, 6)).astype(np.float32)
     back = poses_to_states(states_to_poses(jnp.asarray(s)))
