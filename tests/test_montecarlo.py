@@ -1,6 +1,16 @@
 """Monte-Carlo validation of the predicted error covariance — the papers'
 headline claim (SURVEY.md section 4: "pred_stds matches empirical error
-spread").  The reference never automated this."""
+spread").  The reference never automated this.
+
+256 independent noise realizations are solved in one compiled program
+(lax.scan over vmapped chunks of 32 — ~11 s on CPU), and consistency is
+asserted NEES-style: per-component normalized errors z = (err - bias)/pred
+must satisfy a chi-square-like band on mean(z^2) plus a 3-sigma coverage
+bound.  Measured values on this fixture: mean z^2 per component 0.45-0.71
+(pred_stds mildly conservative), coverage 100%, ratio emp/pred 0.67-0.84 —
+far inside the asserted bands, which are in turn ~40x tighter in variance
+than the previous 16-run 10x-ratio test.
+"""
 
 import numpy as np
 import jax
@@ -8,7 +18,7 @@ import jax.numpy as jnp
 import pytest
 
 from icet_tpu.config import ICETConfig
-from icet_tpu.datasets.synthetic import Scene, simulate_scan
+from icet_tpu.datasets.synthetic import simulate_scan
 from icet_tpu.ops.geometry import euler_R
 from icet_tpu.solver import prepare_reference, register
 
@@ -27,38 +37,57 @@ CFG = ICETConfig(
 def test_pred_stds_track_empirical_error():
     X_true = np.array([0.3, -0.1, 0.02, 0.0, 0.0, 0.01], np.float64)
     R_c = np.asarray(euler_R(jnp.asarray(-X_true[3:6])))
-    scan1 = simulate_scan(seed=7)
+    kw = dict(n_beams=48, n_azimuth=512)
+    scan1 = simulate_scan(seed=7, **kw)
 
-    K = 16
+    K, B = 256, 32
     scans2 = np.stack(
         [
-            simulate_scan(pose_t=X_true[:3], pose_R=R_c, seed=100 + i)
+            simulate_scan(pose_t=X_true[:3], pose_R=R_c, seed=100 + i, **kw)
             for i in range(K)
         ]
     )
 
     @jax.jit
-    def solve_batch(s1, s2batch):
+    def solve_chunks(s1, s2chunks):
         model = prepare_reference(s1, CFG)
-        f = lambda s2: register(model, s2, jnp.zeros(6, jnp.float32), CFG)
-        return jax.vmap(f)(s2batch)
 
-    res = solve_batch(jnp.asarray(scan1), jnp.asarray(scans2))
-    X = np.asarray(res.X)
-    stds = np.asarray(res.pred_stds)
+        def chunk(_, s2b):
+            f = lambda s2: register(model, s2, jnp.zeros(6, jnp.float32), CFG)
+            r = jax.vmap(f)(s2b)
+            return None, (r.X, r.pred_stds)
+
+        _, (Xs, stds) = jax.lax.scan(chunk, None, s2chunks)
+        return Xs.reshape(-1, 6), stds.reshape(-1, 6)
+
+    Xs, stds = solve_chunks(
+        jnp.asarray(scan1), jnp.asarray(scans2.reshape(K // B, B, -1, 3))
+    )
+    X = np.asarray(Xs)
+    S = np.asarray(stds)
 
     err = X - X_true[None, :]
-    emp_std = err.std(axis=0)
-    mean_pred = stds.mean(axis=0)
+    bias = err.mean(axis=0)
+    z = (err - bias) / S
 
-    # Each run's error should be within a generous multiple of its predicted
-    # std (plus a floor for the systematic voxelization bias the covariance
-    # model does not capture).
-    bias = np.abs(err.mean(axis=0))
-    spread_ok = np.abs(err - err.mean(axis=0)) < 8.0 * stds + 2e-3
-    assert spread_ok.mean() > 0.9, (emp_std, mean_pred)
+    # NEES-style band: if pred_stds were exact, mean(z^2) -> 1 with sampling
+    # std sqrt(2/K) ~ 0.09.  The band [0.2, 2.5] allows the model's mild
+    # conservatism (measured ~0.45-0.71) while rejecting any >~1.6x
+    # understatement or >2x overstatement of the std.
+    nees = (z**2).mean(axis=0)
+    assert (nees > 0.2).all() and (nees < 2.5).all(), nees
 
-    # Predicted and empirical RANDOM spread should agree within an order of
-    # magnitude on the well-observed translation components.
-    ratio = emp_std[:2] / mean_pred[:2]
-    assert (ratio < 10).all() and (ratio > 0.1).all(), (emp_std, mean_pred, bias)
+    # 3-sigma coverage: at least 97% of normalized errors inside +-3.
+    assert (np.abs(z) < 3.0).mean() >= 0.97, (np.abs(z) < 3.0).mean(0)
+
+    # Systematic voxelization bias stays bounded by the predicted scale
+    # (pred covariance models the RANDOM error; bias is the known residual
+    # imperfection — measured <= ~1x pred std on this fixture).
+    assert (np.abs(bias) < 2.0 * S.mean(axis=0) + 2e-4).all(), (
+        bias, S.mean(axis=0),
+    )
+
+    # And the raw spread agreement that the old 16-run test asserted at 10x,
+    # now at 2x on every component.
+    ratio = err.std(axis=0) / S.mean(axis=0)
+    assert (ratio < 2.0).all() and (ratio > 0.3).all(), ratio
