@@ -100,6 +100,104 @@ def radial_cluster_bounds(
     return ClusterResult(bounds=bounds, found=found)
 
 
+def distributed_radial_cluster_bounds(
+    vid: jax.Array,
+    r: jax.Array,
+    valid: jax.Array,
+    n_voxels: int,
+    min_pts: int,
+    gap: float,
+    buffer: float,
+    axis_name: str,
+    capacity_factor: float = 2.0,
+) -> ClusterResult:
+    """Exact radial clustering with the points SHARDED over ``axis_name``.
+
+    Replaces the prepare-stage full-cloud all-gather + replicated sort
+    (the sp-axis scaling ceiling: the one O(N log N) stage; reference analog
+    is the parallel radial sorts, src/icet.cpp:72-83): each device routes its
+    local (vid, r) pairs to the device that OWNS that voxel-id range with one
+    ``all_to_all``, runs the standard sort + segmented run detection on its
+    ~N/S received points, and one small all-gather of the (V, 2) bounds table
+    replicates the result — per-device work O(N/S log N/S), traffic O(N/S)
+    per device instead of O(N).
+
+    Bucket capacity is ``capacity_factor * N_local / S`` per destination; if
+    any bucket overflows (pathologically skewed clouds), a replicated
+    fallback path — gathering only (vid, r), not xyz — recomputes exactly,
+    selected by ``lax.cond`` on a psum'd overflow count, so results are
+    ALWAYS bit-identical to :func:`radial_cluster_bounds` on the gathered
+    cloud.
+    """
+    S = jax.lax.axis_size(axis_name)
+    n_local = r.shape[0]
+    vps = -(-n_voxels // S)  # voxels per shard (ceil)
+    cap = -(-int(capacity_factor * n_local) // S)  # bucket capacity (ceil)
+
+    vid = jnp.where(valid, vid, n_voxels).astype(jnp.int32)
+
+    # Destination shard per point; invalid points go to a virtual bucket S
+    # (never sent) so they cannot consume real capacity.
+    dst = jnp.minimum(vid // vps, S - 1)
+    key = jnp.where(valid & (vid < n_voxels), dst, S).astype(jnp.int32)
+    order = jnp.argsort(key)
+    key_s = key[order]
+    vid_s = vid[order]
+    r_s = r[order]
+
+    counts = jax.ops.segment_sum(
+        jnp.ones_like(key_s, jnp.int32), key_s, num_segments=S + 1,
+        indices_are_sorted=True,
+    )
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
+    )[:S]
+    within = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    take = jnp.clip(offsets[:, None] + within, 0, n_local - 1)
+    slot_ok = within < counts[:S, None]
+    send_vid = jnp.where(slot_ok, vid_s[take], n_voxels)
+    send_r = jnp.where(slot_ok, r_s[take], 0.0)
+    overflow = jnp.sum(jnp.maximum(counts[:S] - cap, 0))
+    any_overflow = jax.lax.psum(overflow, axis_name) > 0
+
+    def sharded_path(_):
+        recv_vid = jax.lax.all_to_all(
+            send_vid, axis_name, split_axis=0, concat_axis=0
+        ).reshape(-1)
+        recv_r = jax.lax.all_to_all(
+            send_r, axis_name, split_axis=0, concat_axis=0
+        ).reshape(-1)
+        lo = jax.lax.axis_index(axis_name) * vps
+        in_range = (recv_vid >= lo) & (recv_vid < lo + vps)
+        vloc = jnp.where(in_range, recv_vid - lo, vps).astype(jnp.int32)
+        cr = radial_cluster_bounds(
+            vloc, recv_r, in_range, vps, min_pts, gap, buffer
+        )
+        bounds_all = jax.lax.all_gather(
+            cr.bounds[:vps], axis_name, axis=0, tiled=True
+        )
+        found_all = jax.lax.all_gather(
+            cr.found[:vps], axis_name, axis=0, tiled=True
+        )
+        zero_row = jnp.zeros((1, 2), bounds_all.dtype)
+        return ClusterResult(
+            bounds=jnp.concatenate([bounds_all[:n_voxels], zero_row]),
+            found=jnp.concatenate(
+                [found_all[:n_voxels], jnp.zeros((1,), bool)]
+            ),
+        )
+
+    def replicated_path(_):
+        vid_full = jax.lax.all_gather(vid, axis_name, axis=0, tiled=True)
+        r_full = jax.lax.all_gather(r, axis_name, axis=0, tiled=True)
+        return radial_cluster_bounds(
+            vid_full, r_full, vid_full < n_voxels, n_voxels, min_pts, gap,
+            buffer,
+        )
+
+    return jax.lax.cond(any_overflow, replicated_path, sharded_path, None)
+
+
 def membership(
     vid: jax.Array, r: jax.Array, valid: jax.Array, bounds: jax.Array, n_voxels: int
 ) -> jax.Array:

@@ -130,15 +130,13 @@ def prepare_reference(
     src/icet.cpp:68-252).
 
     Under shard_map with ``axis_name``, ``scan1`` is the LOCAL point shard:
-    the radial clustering all-gathers the (small, ~1 MB) cloud over ICI so
-    every device computes identical bounds, while the moment accumulation
+    radial clustering runs DISTRIBUTED — one all_to_all routes (vid, r)
+    pairs to the device owning each voxel-id range, each device sorts and
+    run-detects its ~N/S points, and the small (V, 2) bounds table is
+    all-gathered (ops/clustering.distributed_radial_cluster_bounds; exact,
+    with a replicated fallback on bucket overflow).  Moment accumulation
     stays sharded and is reduced with one psum.
     """
-    if axis_name is not None:
-        scan1_full = jax.lax.all_gather(scan1, axis_name, axis=0, tiled=True)
-    else:
-        scan1_full = scan1
-
     if cfg.radial_mode == "fixed":
         # NDT-style regular grid: bounds are the geometric shell edges; no
         # data-dependent clustering pass (reference grid_spherical,
@@ -152,8 +150,23 @@ def prepare_reference(
                 [jnp.ones((cfg.n_voxels,), bool), jnp.zeros((1,), bool)]
             ),
         )
+    elif axis_name is not None:
+        from icet_tpu.ops.clustering import distributed_radial_cluster_bounds
+
+        rtp_loc = cart_to_spherical(scan1)
+        r_loc = rtp_loc[..., 0]
+        clusters = distributed_radial_cluster_bounds(
+            voxel_ids(rtp_loc, cfg),
+            r_loc,
+            r_loc >= cfg.min_range,
+            cfg.n_voxels,
+            cfg.min_pts,
+            cfg.cluster_gap,
+            cfg.cluster_buffer,
+            axis_name,
+        )
     else:
-        rtp_full = cart_to_spherical(scan1_full)
+        rtp_full = cart_to_spherical(scan1)
         r_full = rtp_full[..., 0]
         clusters = radial_cluster_bounds(
             voxel_ids(rtp_full, cfg),

@@ -83,3 +83,75 @@ def test_diagnostics_replicated(batch):
     res = step(s1, s2, s0)
     assert np.asarray(res.diagnostics.n_corr).shape == (2, CFG.n_iters)
     assert (np.asarray(res.diagnostics.n_corr) > 50).all()
+
+
+def _cluster_inputs(scan, cfg):
+    from icet_tpu.ops.geometry import cart_to_spherical
+    from icet_tpu.ops.grid import voxel_ids
+
+    rtp = cart_to_spherical(jnp.asarray(scan))
+    r = rtp[..., 0]
+    return voxel_ids(rtp, cfg), r, r >= cfg.min_range
+
+
+@pytest.mark.parametrize("capacity_factor", [2.0, 0.02])
+def test_distributed_clustering_bitmatches_replicated(batch, capacity_factor):
+    """The all_to_all-sharded radial clustering must produce bit-identical
+    bounds to the replicated sort — both in the normal regime and when tiny
+    bucket capacity forces the overflow fallback (capacity_factor=0.02)."""
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from icet_tpu.ops.clustering import (
+        distributed_radial_cluster_bounds,
+        radial_cluster_bounds,
+    )
+
+    scans1, _, _ = batch
+    scan = scans1[0]
+    vid, r, ok = _cluster_inputs(scan, CFG)
+    golden = radial_cluster_bounds(
+        jnp.where(ok, vid, CFG.n_voxels), r, ok, CFG.n_voxels, CFG.min_pts,
+        CFG.cluster_gap, CFG.cluster_buffer,
+    )
+
+    mesh = Mesh(np.array(jax.devices()), ("sp",))
+
+    def local_fn(vid_l, r_l, ok_l):
+        return distributed_radial_cluster_bounds(
+            vid_l, r_l, ok_l, CFG.n_voxels, CFG.min_pts, CFG.cluster_gap,
+            CFG.cluster_buffer, "sp", capacity_factor=capacity_factor,
+        )
+
+    dist = jax.jit(
+        shard_map(
+            local_fn, mesh=mesh,
+            in_specs=(P("sp"), P("sp"), P("sp")),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )(vid, r, ok)
+
+    np.testing.assert_array_equal(
+        np.asarray(dist.bounds), np.asarray(golden.bounds)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dist.found), np.asarray(golden.found)
+    )
+
+
+def test_sharded_register_uses_distributed_clustering(batch):
+    """End-to-end: the sp-sharded registration (which now clusters via
+    all_to_all instead of gathering the cloud) still matches single-device."""
+    scans1, scans2, xs_true = batch
+    mesh = registration_mesh(dp=1, sp=8)
+    step = make_sharded_register(CFG, mesh)
+    x0 = np.zeros((2, 6), np.float32)
+    s1, s2, s0 = shard_scan_batch(scans1, scans2, x0, mesh)
+    res = step(s1, s2, s0)
+    single = register_pair(
+        jnp.asarray(scans1[0]), jnp.asarray(scans2[0]), jnp.zeros(6), CFG
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.X)[0], np.asarray(single.X), atol=5e-4
+    )
