@@ -113,3 +113,117 @@ class SyntheticTrajectorySource:
             T[:3, :3] = R
             T[:3, 3] = t
             yield scan, T
+
+class CityDriveSource:
+    """A multi-lap city-block circuit with exact ground truth — the
+    repo's KITTI-style long-sequence fixture (the reference evaluates on
+    KITTI/Ford/CODD urban drives, README.md:67-110; no data ships with it).
+
+    The sensor drives the rounded-rectangle ring road of
+    :func:`~icet_tpu.datasets.synthetic.city_scene` (corners smoothed with
+    radius ``corner_radius``), heading tangent to the path, at ``speed``
+    metres per frame.  Each lap revisits the same streets, so loop-closure
+    detection on the estimated trajectory has genuine revisits to find.
+
+    Yields ``(scan, T_world)`` like :class:`SyntheticTrajectorySource`.
+    """
+
+    #: default circuit rectangle (street centerlines) in scene coordinates
+    X0, X1, Y0, Y1 = 10.0, 90.0, 10.0, 70.0
+
+    def __init__(
+        self,
+        n_frames: int = 500,
+        speed: float = 1.0,
+        corner_radius: float = 6.0,
+        scene: Scene | None = None,
+        seed: int = 0,
+        n_beams: int = 64,
+        n_azimuth: int = 1024,
+        range_noise: float = 0.02,
+        rect: tuple | None = None,
+    ):
+        from icet_tpu.datasets.synthetic import city_scene
+
+        if rect is not None:
+            self.X0, self.X1, self.Y0, self.Y1 = rect
+        self.n_frames = n_frames
+        self.speed = speed
+        self.rho = corner_radius
+        self.scene = scene or city_scene(seed)
+        self.seed = seed
+        self.n_beams = n_beams
+        self.n_azimuth = n_azimuth
+        self.range_noise = range_noise
+
+        w = self.X1 - self.X0 - 2 * self.rho  # straight lengths
+        h = self.Y1 - self.Y0 - 2 * self.rho
+        arc = np.pi / 2 * self.rho
+        #: segment lengths: S, arc, E, arc, N, arc, W, arc (counterclockwise)
+        self._segs = [w, arc, h, arc, w, arc, h, arc]
+        self.lap_length = sum(self._segs)
+
+    def pose(self, i: int):
+        """(R, t) world pose at frame i (z = 0, yaw only)."""
+        s = (self.speed * i) % self.lap_length
+        x0, x1, y0, y1, rho = self.X0, self.X1, self.Y0, self.Y1, self.rho
+        w = x1 - x0 - 2 * rho
+        h = y1 - y0 - 2 * rho
+        # Walk the segments counterclockwise starting at (x0+rho, y0).
+        for k, L in enumerate(self._segs):
+            if s <= L or k == len(self._segs) - 1:
+                break
+            s -= L
+        if k == 0:  # south straight, heading +x
+            p = np.array([x0 + rho + s, y0])
+            yaw = 0.0
+        elif k == 1:  # SE corner
+            a = s / rho
+            c = np.array([x1 - rho, y0 + rho])
+            p = c + rho * np.array([np.sin(a), -np.cos(a)])
+            yaw = a
+        elif k == 2:  # east straight, heading +y
+            p = np.array([x1, y0 + rho + s])
+            yaw = np.pi / 2
+        elif k == 3:  # NE corner
+            a = s / rho
+            c = np.array([x1 - rho, y1 - rho])
+            p = c + rho * np.array([np.cos(a), np.sin(a)])
+            yaw = np.pi / 2 + a
+        elif k == 4:  # north straight, heading -x
+            p = np.array([x1 - rho - s, y1])
+            yaw = np.pi
+        elif k == 5:  # NW corner
+            a = s / rho
+            c = np.array([x0 + rho, y1 - rho])
+            p = c + rho * np.array([-np.sin(a), np.cos(a)])
+            yaw = np.pi + a
+        elif k == 6:  # west straight, heading -y
+            p = np.array([x0, y1 - rho - s])
+            yaw = 3 * np.pi / 2
+        else:  # SW corner
+            a = s / rho
+            c = np.array([x0 + rho, y0 + rho])
+            p = c + rho * np.array([-np.cos(a), -np.sin(a)])
+            yaw = 3 * np.pi / 2 + a
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        R = np.array([[cy, -sy, 0.0], [sy, cy, 0.0], [0.0, 0.0, 1.0]])
+        t = np.array([p[0], p[1], 0.0])
+        return R, t
+
+    def __iter__(self):
+        for i in range(self.n_frames):
+            R, t = self.pose(i)
+            scan = simulate_scan(
+                pose_t=t,
+                pose_R=R,
+                scene=self.scene,
+                seed=self.seed + i,
+                n_beams=self.n_beams,
+                n_azimuth=self.n_azimuth,
+                range_noise=self.range_noise,
+            )
+            T = np.eye(4)
+            T[:3, :3] = R
+            T[:3, 3] = t
+            yield scan, T

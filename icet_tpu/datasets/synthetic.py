@@ -154,3 +154,53 @@ def scan_pair_with_ground_truth(
         pose_t=X_true[:3], pose_R=R_c, scene=scene, seed=seed + 1, **kw
     )
     return scan1, scan2
+
+
+def city_scene(seed: int = 0) -> Scene:
+    """A city-block scene for long drives: a ring road around a central
+    block, buildings on both sides of the street, open ground elsewhere.
+
+    Geometry (metres, sensor height 0 = 2 m above ground): the drive circuit
+    of :class:`~icet_tpu.datasets.replay.CityDriveSource` runs the rectangle
+    x in [10, 90], y in [10, 70]; buildings line the inner block
+    ([20, 80] x [20, 60]) and the outer frontage, so every frame sees
+    structure on both sides — the KITTI-like urban-canyon regime the
+    reference's papers evaluate on (README.md:67-110).
+    """
+    rng = np.random.default_rng(seed)
+    boxes = []
+
+    def strip(x0, x1, y0, y1, n, axis):
+        """n buildings along one frontage with varied setbacks/heights."""
+        for k in range(n):
+            if axis == 0:
+                xa = x0 + (x1 - x0) * k / n + rng.uniform(0.5, 1.5)
+                xb = x0 + (x1 - x0) * (k + 1) / n - rng.uniform(0.5, 1.5)
+                ya, yb = y0 + rng.uniform(0, 1.0), y1 - rng.uniform(0, 1.0)
+            else:
+                ya = y0 + (y1 - y0) * k / n + rng.uniform(0.5, 1.5)
+                yb = y0 + (y1 - y0) * (k + 1) / n - rng.uniform(0.5, 1.5)
+                xa, xb = x0 + rng.uniform(0, 1.0), x1 - rng.uniform(0, 1.0)
+            h = rng.uniform(4.0, 14.0)
+            boxes.append((xa, xb, ya, yb, -2.0, h))
+
+    # Inner block frontages (facing the circuit from inside).
+    strip(20.0, 80.0, 20.0, 26.0, 6, axis=0)   # south face of inner block
+    strip(20.0, 80.0, 54.0, 60.0, 6, axis=0)   # north face
+    strip(20.0, 26.0, 28.0, 52.0, 3, axis=1)   # west face
+    strip(74.0, 80.0, 28.0, 52.0, 3, axis=1)   # east face
+    # Outer frontages (facing the circuit from outside).
+    strip(0.0, 100.0, -4.0, 2.0, 8, axis=0)    # south outer row
+    strip(0.0, 100.0, 78.0, 84.0, 8, axis=0)   # north outer row
+    strip(-4.0, 2.0, 0.0, 80.0, 6, axis=1)     # west outer row
+    strip(98.0, 104.0, 0.0, 80.0, 6, axis=1)   # east outer row
+    # A few street-side obstacles (parked trucks / kiosks) along the
+    # straights, kept clear of the drive corridor (the circuit centerline
+    # runs y = 10 / y = 70 with corner sweeps into x in [10, 16] U [84, 90],
+    # so obstacles stay at x in [25, 70] with >= 1.7 m lateral clearance).
+    for _ in range(6):
+        cx = rng.uniform(25, 70)
+        cy = rng.choice([rng.uniform(13, 16), rng.uniform(64, 67)])
+        boxes.append((cx, cx + rng.uniform(2, 5), cy, cy + 2.2, -2.0, 0.8))
+
+    return Scene(ground_z=-2.0, walls=(), boxes=tuple(boxes), max_range=120.0)

@@ -1,0 +1,132 @@
+"""Long-sequence odometry + loop-closure regression on the city drive.
+
+The reference's accuracy story rests on KITTI/Ford/CODD urban sequences
+(/root/reference/README.md:67-110) that do not ship with it.  This is the
+repo's automated stand-in: a multi-lap raycast city drive with exact ground
+truth, streamed through odometry, loop detection on the *estimated*
+trajectory, loop re-registration, and block-sparse pose-graph refinement —
+with hard ATE/RPE pass bands (the dormant ``true_transform`` idea from the
+reference's msg/Num.msg:5, automated).
+
+The full-scale harness (canonical 75x24 grid, 64x1024 rays, 550 frames) is
+``examples/eval_citydrive.py``; results from real hardware are recorded in
+RESULTS.md.  This test runs a scaled config that preserves every pipeline
+stage, hermetic on CPU.
+"""
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.integration
+
+
+@pytest.fixture(scope="module")
+def drive():
+    """~1.5 laps of a small city block: scans, ground-truth poses."""
+    from icet_tpu.datasets.replay import CityDriveSource
+    from icet_tpu.datasets.synthetic import Scene
+
+    src = CityDriveSource(
+        n_frames=250,
+        speed=1.0,
+        scene=Scene(),
+        rect=(-24, 24, -19, 19),
+        n_beams=48,
+        n_azimuth=512,
+    )
+    scans, gt = [], []
+    for scan, T in src:
+        scans.append(scan)
+        gt.append(T)
+    return scans, gt, src
+
+
+CFG = dict(
+    n_theta=48,
+    n_phi=16,
+    phi_min=np.pi / 3,
+    phi_max=2 * np.pi / 3,
+    n_iters=6,
+    min_pts=20,
+    min_range=1.0,
+)
+
+
+def test_citydrive_odometry_and_loop_closure(drive):
+    import jax.numpy as jnp
+
+    from icet_tpu.config import ICETConfig, OdometryConfig
+    from icet_tpu.odometry import OdometryPipeline
+    from icet_tpu.ops.geometry import pose_to_state
+    from icet_tpu.pose_graph import (
+        close_loops,
+        detect_loop_candidates,
+        graph_from_odometry,
+        optimize_poses_sparse,
+        states_to_poses,
+    )
+    from icet_tpu.utils.metrics import ate_rmse, rpe
+
+    scans, gt, src = drive
+    cfg = ICETConfig(**CFG)
+    pipe = OdometryPipeline(cfg, OdometryConfig(divergence_clamp=2.5))
+    frames = [f for f in (pipe.step(s) for s in scans) if f is not None]
+
+    assert len(frames) == len(scans) - 1
+    assert sum(f.diverged for f in frames) == 0
+
+    est = [np.eye(4)] + [f.T_world for f in frames]
+    ref = [np.linalg.inv(gt[0]) @ T for T in gt]
+    ate_odo = ate_rmse(est, ref)
+    t_err, r_err = rpe(est, ref)
+    # Observed on this fixture: ATE ~0.11 m, RPE ~1 mm / 0.01 deg per frame.
+    assert ate_odo < 0.35, ate_odo
+    assert t_err.mean() < 0.01, t_err.mean()
+    assert np.degrees(r_err.mean()) < 0.05
+
+    # Loop closure on the drifted ESTIMATED trajectory (what a real system
+    # has); lap revisits must be found, verified, and must cut the ATE.
+    positions = np.stack([T[:3, 3] for T in est])
+    cands = detect_loop_candidates(positions, radius=6.0, min_gap=80)
+    assert len(cands) >= 30, len(cands)
+
+    def x0_fn(i, j):
+        rel = np.linalg.inv(est[i]) @ est[j]
+        return np.asarray(pose_to_state(jnp.asarray(rel))).astype(np.float32)
+
+    loops = close_loops(scans, cands, cfg, x0_fn=x0_fn)
+    assert len(loops) >= 30, len(loops)
+
+    states0, graph = graph_from_odometry(frames, loop_factors=loops)
+    opt = np.asarray(optimize_poses_sparse(jnp.asarray(states0), graph, 10, 400))
+    ate_ref = ate_rmse(list(states_to_poses(opt)), ref)
+    # Observed: refinement 0.11 m -> 0.03 m.  Require a genuine improvement
+    # and an absolute band.
+    assert ate_ref < ate_odo, (ate_ref, ate_odo)
+    assert ate_ref < 0.15, ate_ref
+
+
+def test_citydrive_pose_math():
+    """CityDriveSource.pose: continuous, on-circuit, heading = path tangent."""
+    from icet_tpu.datasets.replay import CityDriveSource
+
+    src = CityDriveSource(n_frames=1, speed=0.5)
+    pts = np.stack([src.pose(i)[1] for i in range(2 * int(src.lap_length))])
+    steps = np.linalg.norm(np.diff(pts, axis=0), axis=1)
+    # Arc-length parameterization: every step is ~speed long (corners included).
+    assert steps.max() < 0.52 and steps.min() > 0.42, (steps.min(), steps.max())
+    # The circuit stays inside the street rectangle.
+    assert pts[:, 0].min() >= src.X0 - 1e-6 and pts[:, 0].max() <= src.X1 + 1e-6
+    assert pts[:, 1].min() >= src.Y0 - 1e-6 and pts[:, 1].max() <= src.Y1 + 1e-6
+    # One full lap closes on itself.
+    n_lap = int(round(src.lap_length / 0.5))
+    lap_gap = np.linalg.norm(src.pose(0)[1] - src.pose(n_lap)[1])
+    assert lap_gap < 0.51, lap_gap
+    # Heading matches the direction of travel.
+    for i in (3, 40, 100, 200):
+        R, t = src.pose(i)
+        R2, t2 = src.pose(i + 1)
+        d = t2 - t
+        d /= np.linalg.norm(d)
+        fwd = R[:, 0]  # sensor +x is forward
+        assert float(fwd @ d) > 0.98, (i, fwd, d)
