@@ -85,11 +85,29 @@ def radial_cluster_bounds(
     qualifies = pt_ok & (run_len >= min_pts)
 
     # First qualifying run per voxel: min run_start over qualifying elements.
-    cand = jnp.where(qualifies, run_start, _BIG)
-    first_start = jax.ops.segment_min(
-        cand, vid_s, num_segments=n_voxels + 1, indices_are_sorted=True
-    )
-    found = first_start < _BIG
+    if (n_voxels + 1) * (n + 1) < 2**31:
+        # Fast path: a 65k->V scatter (segment_min) costs ~0.5 ms on the chip
+        # where prefix scans cost ~0.05 ms.  Pack (voxel, candidate) into one
+        # key — later voxels have strictly larger keys, so a plain reverse
+        # cummin never crosses a segment boundary and its value at each
+        # voxel's first row IS that voxel's min.  Read those rows with a
+        # binary-search gather (V lookups) instead of scattering N rows.
+        x = jnp.where(qualifies, run_start, n)  # in-segment "no run" sentinel
+        key = vid_s * (n + 1) + x
+        rev = jax.lax.cummin(key, reverse=True)
+        seg_start = jnp.searchsorted(
+            vid_s, jnp.arange(n_voxels + 1, dtype=jnp.int32)
+        ).astype(jnp.int32)
+        tbl = rev[jnp.minimum(seg_start, n - 1)]
+        owner = tbl // (n + 1)
+        first_start = tbl % (n + 1)
+        found = (owner == jnp.arange(n_voxels + 1)) & (first_start < n)
+    else:
+        cand = jnp.where(qualifies, run_start, _BIG)
+        first_start = jax.ops.segment_min(
+            cand, vid_s, num_segments=n_voxels + 1, indices_are_sorted=True
+        )
+        found = first_start < _BIG
     sel = jnp.where(found, first_start, 0)
 
     r_inner = jnp.maximum(r_s[sel] - buffer, 0.0)
