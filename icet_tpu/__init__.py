@@ -8,8 +8,16 @@ covariance — plus the odometry, HD-map accumulation, dataset replay, and
 robustness-filter layers that sit around the solver.
 """
 
-from icet_tpu.config import ICETConfig, MapConfig, OdometryConfig, PROFILES
+from icet_tpu.config import (
+    BlockMapConfig,
+    ICETConfig,
+    KeyframeConfig,
+    MapConfig,
+    OdometryConfig,
+    PROFILES,
+)
 from icet_tpu.filters import register_scans
+from icet_tpu.keyframe import BlockMap, KeyframeOdometry
 from icet_tpu.mapping import MapMaker
 from icet_tpu.odometry import OdometryPipeline, run_odometry
 from icet_tpu.scan_matcher import ScanMatcher
@@ -27,7 +35,11 @@ from icet_tpu.solver import (
 __version__ = "0.1.0"
 
 __all__ = [
+    "BlockMap",
+    "BlockMapConfig",
     "ICETConfig",
+    "KeyframeConfig",
+    "KeyframeOdometry",
     "MapMaker",
     "OdometryPipeline",
     "run_odometry",

@@ -160,6 +160,50 @@ class MapConfig:
     points_per_scan: int = 2_000
 
 
+@dataclasses.dataclass(frozen=True)
+class KeyframeConfig:
+    """Keyframe odometry (scan-to-keyframe registration).
+
+    The reference registers every scan against the immediately previous one
+    (odometry.cpp:73-82), so drift compounds per frame and every frame pays a
+    full scan-1 fit.  Registering against a held KEYFRAME until the sensor
+    moves too far (a) removes per-frame drift compounding within the keyframe
+    window and (b) amortizes the prepare stage over the keyframe lifetime.
+    """
+
+    #: spawn a new keyframe when the translation from the current one
+    #: exceeds this (metres)
+    spawn_distance: float = 2.0
+    #: ... or when any Euler angle from it exceeds this (radians)
+    spawn_angle: float = 0.25
+    #: ... or when the solver's final correspondence count falls below this
+    #: fraction of the count right after the keyframe was spawned
+    min_corr_fraction: float = 0.35
+    #: divergence guard on the per-frame DELTA (the keyframe-relative X can
+    #: be legitimately large; the frame-to-frame step cannot) — analog of the
+    #: reference's 0.3 clamp (simpleMapMaker.cpp:129-137)
+    delta_clamp: float = 0.3
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockMapConfig:
+    """Keyframe block map (city-scale redesign of the reference's single
+    600k-point ring, simpleMapMaker.cpp:18-62).
+
+    Points are stored per keyframe BLOCK in that keyframe's own frame; only
+    the 6-DOF block poses move when the trajectory is refined, so map upkeep
+    is O(1) per frame instead of the reference's O(map) re-expression, and
+    the block axis shards cleanly across devices.
+    """
+
+    #: number of keyframe blocks held (oldest evicted ring-wise beyond this)
+    n_blocks: int = 64
+    #: point capacity per block
+    block_capacity: int = 16_384
+    #: points inserted per scan (range-gated random downsample)
+    points_per_scan: int = 1_000
+
+
 # Canonical sensor / application profiles, replacing the reference's
 # commented-out alternates.
 PROFILES = {

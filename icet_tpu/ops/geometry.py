@@ -148,6 +148,27 @@ def compose_pose(T_world: jax.Array, X: jax.Array) -> jax.Array:
     return jnp.matmul(T_world, pose_matrix(X), precision=_HI)
 
 
+def compose_states(xa: jax.Array, xb: jax.Array) -> jax.Array:
+    """State of the composed transform ``T(xa) @ T(xb)`` (6,)."""
+    return pose_to_state(
+        jnp.matmul(pose_matrix(xa), pose_matrix(xb), precision=_HI)
+    )
+
+
+def relative_state(xa: jax.Array, xb: jax.Array) -> jax.Array:
+    """State of ``T(xa)^-1 @ T(xb)`` — the step taking pose ``xa`` to ``xb``.
+
+    Uses the analytic rigid inverse ``[R^T | -R^T t]`` (no linear solve).
+    """
+    ra = euler_R(-xa[3:6])
+    rb = euler_R(-xb[3:6])
+    rot = jnp.matmul(ra.T, rb, precision=_HI)
+    t = jnp.matmul(ra.T, xb[:3] - xa[:3], precision=_HI)
+    top = jnp.concatenate([rot, t[:, None]], axis=1)
+    bottom = jnp.array([[0.0, 0.0, 0.0, 1.0]], dtype=xa.dtype)
+    return pose_to_state(jnp.concatenate([top, bottom], axis=0))
+
+
 def euler_from_R(rot: jax.Array) -> jax.Array:
     """Exact inverse of :func:`euler_R` away from the theta = +-pi/2 gimbal
     singularity: ``euler_from_R(euler_R(a)) == a``.

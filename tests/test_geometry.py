@@ -131,3 +131,20 @@ def test_measurement_jacobian_shape_and_identity_block():
     # At zero angles, dR/dpsi @ mu has the classic skew structure about z.
     np.testing.assert_allclose(H[:, 0, 5], mu[:, 1], atol=1e-5)
     np.testing.assert_allclose(H[:, 1, 5], -mu[:, 0], atol=1e-5)
+
+
+def test_compose_and_relative_state(rng):
+    xa = jnp.asarray(rng.uniform(-1, 1, 6).astype(np.float32))
+    xb = jnp.asarray(rng.uniform(-1, 1, 6).astype(np.float32))
+    # compose_states matches 4x4 composition.
+    Tc = np.asarray(geo.pose_matrix(xa)) @ np.asarray(geo.pose_matrix(xb))
+    np.testing.assert_allclose(
+        np.asarray(geo.pose_matrix(geo.compose_states(xa, xb))), Tc, atol=1e-5
+    )
+    # relative_state is the exact inverse: compose(xa, relative(xa, xb)) == xb.
+    rec = np.asarray(geo.compose_states(xa, geo.relative_state(xa, xb)))
+    np.testing.assert_allclose(rec, np.asarray(xb), atol=1e-5)
+    # relative of a pose with itself is the identity step.
+    np.testing.assert_allclose(
+        np.asarray(geo.relative_state(xa, xa)), np.zeros(6), atol=1e-6
+    )
