@@ -31,12 +31,17 @@ def main():
     ap.add_argument("--beams", type=int, default=64)
     ap.add_argument("--azimuth", type=int, default=1024)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--keyframe", action="store_true",
+                    help="use scan-to-keyframe odometry (KeyframeOdometry) "
+                         "instead of frame-to-frame")
     ap.add_argument("--radius", type=float, default=8.0,
                     help="loop-candidate search radius (m) on the drifted "
                          "estimated trajectory")
     ap.add_argument("--min-gap", type=int, default=100,
                     help="minimum frame separation for a loop candidate")
     ap.add_argument("--out", default=None, help="write TUM trajectories here")
+    ap.add_argument("--save-graph", default=None,
+                    help="npz path to dump the pose graph (debugging)")
     args = ap.parse_args()
 
     import jax
@@ -70,7 +75,17 @@ def main():
           f"rays, {src.lap_length:.0f} m/lap, "
           f"{args.frames * args.speed / src.lap_length:.1f} laps")
 
-    pipe = OdometryPipeline(cfg, odo_cfg)
+    if args.keyframe:
+        from icet_tpu.config import KeyframeConfig
+        from icet_tpu.keyframe import KeyframeOdometry
+
+        pipe = KeyframeOdometry(
+            cfg,
+            KeyframeConfig(spawn_distance=3.0, spawn_angle=0.3,
+                           delta_clamp=odo_cfg.divergence_clamp),
+        )
+    else:
+        pipe = OdometryPipeline(cfg, odo_cfg)
     scans, gt, frames = [], [], []
     t0 = time.perf_counter()
     for i, (scan, T) in enumerate(src):
@@ -109,6 +124,16 @@ def main():
           f"({time.perf_counter() - t0:.1f} s)")
 
     states0, graph = graph_from_odometry(frames, loop_factors=loops)
+    if args.save_graph:
+        np.savez(
+            args.save_graph,
+            states0=states0,
+            idx_i=np.asarray(graph.idx_i),
+            idx_j=np.asarray(graph.idx_j),
+            meas=np.asarray(graph.meas),
+            info=np.asarray(graph.info),
+            gt=np.stack(ref),
+        )
     opt = np.asarray(
         optimize_poses_sparse(jnp.asarray(states0), graph, 10, 400)
     )

@@ -115,6 +115,16 @@ def _gn_iterations(states0, graph, n_iters, damping, prior_weight, axis_name=Non
     K = states0.shape[0]
 
     def step(states, _):
+        # Pose entries span the whole map (tens of metres); a single bf16
+        # MXU pass anywhere in the factor math injects ~0.3 m errors and the
+        # "refinement" WORSENS the trajectory (observed on the city-drive
+        # eval: 12.6 cm odometry -> 97 cm refined before this pin).  Force
+        # f32 accumulation for every dot in the step, including the 4x4 pose
+        # products inside jacfwd and the Cholesky solve.
+        with jax.default_matmul_precision("highest"):
+            return _step(states)
+
+    def _step(states):
         H, b = _build_normals(states, graph, prior_weight)
         if axis_name is not None:
             # Factors are sharded across the mesh axis: one psum of the
@@ -153,6 +163,10 @@ def optimize_poses(
 def _sparse_gn_step(states, graph, prior_weight, damping, cg_iters):
     """One Gauss-Newton step without ever densifying H.
 
+    All dots run under ``default_matmul_precision("highest")`` (see
+    ``_gn_iterations``: bf16 MXU passes on metre-scale pose math silently
+    corrupt the refinement on TPU).
+
     The (6K, 6K) system is applied factor-by-factor (block-sparse matvec) and
     solved with block-Jacobi-preconditioned conjugate gradients — O(F) work
     per CG iteration instead of the O(K^2) dense build + O(K^3) Cholesky, the
@@ -160,6 +174,11 @@ def _sparse_gn_step(states, graph, prior_weight, damping, cg_iters):
     for a pose-only graph the block-sparse normal equations ARE the reduced
     system, there are no landmarks to eliminate).
     """
+    with jax.default_matmul_precision("highest"):
+        return _sparse_gn_step_inner(states, graph, prior_weight, damping, cg_iters)
+
+
+def _sparse_gn_step_inner(states, graph, prior_weight, damping, cg_iters):
     K = states.shape[0]
     eye6 = jnp.eye(6, dtype=states.dtype)
     blocks, rhs = _factor_blocks(states, graph)
