@@ -135,7 +135,7 @@ def main():
             gt=np.stack(ref),
         )
     opt = np.asarray(
-        optimize_poses_sparse(jnp.asarray(states0), graph, 10, 400)
+        optimize_poses_sparse(jnp.asarray(states0), graph, 10, 50)
     )
     est_opt = states_to_poses(opt)
     ate_opt = ate_rmse(list(est_opt), ref)

@@ -160,7 +160,8 @@ def optimize_poses(
     return _gn_iterations(states0, graph, n_iters, damping, prior_weight)
 
 
-def _sparse_gn_step(states, graph, prior_weight, damping, cg_iters):
+def _sparse_gn_step(states, graph, prior_weight, damping, cg_iters,
+                    precond_kind="tridiag"):
     """One Gauss-Newton step without ever densifying H.
 
     All dots run under ``default_matmul_precision("highest")`` (see
@@ -175,10 +176,75 @@ def _sparse_gn_step(states, graph, prior_weight, damping, cg_iters):
     system, there are no landmarks to eliminate).
     """
     with jax.default_matmul_precision("highest"):
-        return _sparse_gn_step_inner(states, graph, prior_weight, damping, cg_iters)
+        return _sparse_gn_step_inner(
+            states, graph, prior_weight, damping, cg_iters, precond_kind
+        )
 
 
-def _sparse_gn_step_inner(states, graph, prior_weight, damping, cg_iters):
+def _spd_inv6(S, eye6):
+    """Stable inverse of an SPD 6x6 via Cholesky (inv(L)^T inv(L))."""
+    c = jnp.linalg.cholesky(S)
+    inv_c = jax.scipy.linalg.solve_triangular(c, eye6, lower=True)
+    return jnp.matmul(inv_c.T, inv_c, precision=_HI)
+
+
+def _tridiag_factor(diag_d, E, eye6):
+    """Block-Cholesky of the SPD block-tridiagonal backbone.
+
+    ``diag_d`` (K, 6, 6) are the damped diagonal blocks (ALL factors
+    contribute there, loops included), ``E`` (K-1, 6, 6) the super-diagonal
+    blocks from consecutive factors only.  Sequential recurrence
+    ``S_k = D_k - E_{k-1}^T S_{k-1}^{-1} E_{k-1}`` under ``lax.scan``;
+    returns batched inverses ``S_inv`` (K, 6, 6) and the coupling terms
+    ``U_k = S_k^{-1} E_k`` (K-1, 6, 6) used by the solve sweeps.
+    """
+
+    def step(S_prev_inv, inputs):
+        D_k, E_prev = inputs
+        U = jnp.matmul(S_prev_inv, E_prev, precision=_HI)
+        S_k = D_k - jnp.matmul(E_prev.T, U, precision=_HI)
+        S_k_inv = _spd_inv6(S_k, eye6)
+        # Non-SPD round-off (possible with extreme information ratios):
+        # degrade that block to plain block-Jacobi rather than poisoning
+        # the whole preconditioner with NaNs.
+        ok = jnp.all(jnp.isfinite(S_k_inv))
+        S_k_inv = jnp.where(ok, S_k_inv, _spd_inv6(D_k, eye6))
+        U = jnp.where(ok, U, jnp.zeros_like(U))
+        return S_k_inv, (S_k_inv, U)
+
+    S0_inv = _spd_inv6(diag_d[0], eye6)
+    _, (S_inv_rest, U) = jax.lax.scan(step, S0_inv, (diag_d[1:], E))
+    S_inv = jnp.concatenate([S0_inv[None], S_inv_rest])
+    return S_inv, U
+
+
+def _tridiag_apply(S_inv, U, r):
+    """Apply the backbone inverse M^-1 to (K, 6) vectors: one forward and
+    one backward block substitution sweep (classic block-Thomas)."""
+
+    def fwd(z_prev, inputs):
+        r_k, U_prev = inputs
+        z_k = r_k - jnp.matmul(U_prev.T, z_prev, precision=_HI)
+        return z_k, z_k
+
+    z0 = r[0]
+    _, z_rest = jax.lax.scan(fwd, z0, (r[1:], U))
+    z = jnp.concatenate([z0[None], z_rest])
+
+    # y_k = S_k^{-1} z_k - U_k y_{k+1}  (U_k = S_k^{-1} E_k)
+    def bwd(y_next, inputs):
+        Sz_k, U_k = inputs
+        y_k = Sz_k - jnp.matmul(U_k, y_next, precision=_HI)
+        return y_k, y_k
+
+    Sz = jnp.einsum("kab,kb->ka", S_inv, z, precision=_HI)
+    yK = Sz[-1]
+    _, y_rest = jax.lax.scan(bwd, yK, (Sz[:-1], U), reverse=True)
+    return jnp.concatenate([y_rest, yK[None]])
+
+
+def _sparse_gn_step_inner(states, graph, prior_weight, damping, cg_iters,
+                          precond_kind="tridiag"):
     K = states.shape[0]
     eye6 = jnp.eye(6, dtype=states.dtype)
     blocks, rhs = _factor_blocks(states, graph)
@@ -207,15 +273,36 @@ def _sparse_gn_step_inner(states, graph, prior_weight, damping, cg_iters):
         )
         return out
 
-    # Block-Jacobi preconditioner: one batched 6x6 Cholesky, reused all CG.
-    chol = jnp.linalg.cholesky(diag_d)
-
-    def precond(r):
-        y = jax.scipy.linalg.solve_triangular(chol, r[..., None], lower=True)
-        z = jax.scipy.linalg.solve_triangular(
-            jnp.swapaxes(chol, -1, -2), y, lower=False
+    if precond_kind == "tridiag":
+        # Odometry-backbone preconditioner: the consecutive-factor chain is
+        # the dominant structure of an odometry graph, and block-Jacobi is
+        # blind to it — CG then needs O(K) iterations just to propagate
+        # information along the chain.  Solving the block-tridiagonal
+        # backbone exactly leaves CG only the (few) loop-closure couplings:
+        # tens of iterations instead of hundreds on 10k-pose graphs.
+        consec = bj == bi + 1
+        sent = jnp.where(consec, bi, K - 1)  # K-1 is OOB for (K-1,...) -> dropped
+        E = jnp.zeros((K - 1, 6, 6), states.dtype)
+        E = E.at[sent].add(
+            jnp.where(consec[:, None, None], blocks[:, 1], 0.0)
         )
-        return z[..., 0]
+        S_inv, U = _tridiag_factor(diag_d, E, eye6)
+
+        def precond(r):
+            return _tridiag_apply(S_inv, U, r)
+
+    else:
+        # Block-Jacobi: one batched 6x6 Cholesky, reused all CG.
+        chol = jnp.linalg.cholesky(diag_d)
+
+        def precond(r):
+            y = jax.scipy.linalg.solve_triangular(
+                chol, r[..., None], lower=True
+            )
+            z = jax.scipy.linalg.solve_triangular(
+                jnp.swapaxes(chol, -1, -2), y, lower=False
+            )
+            return z[..., 0]
 
     rhs0 = -b
     x = jnp.zeros_like(rhs0)
@@ -242,7 +329,7 @@ def _sparse_gn_step_inner(states, graph, prior_weight, damping, cg_iters):
     return states + x, jnp.linalg.norm(x)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def optimize_poses_sparse(
     states0: jax.Array,
     graph: PoseGraph,
@@ -250,6 +337,7 @@ def optimize_poses_sparse(
     cg_iters: int = 100,
     damping: float = 1e-6,
     prior_weight: float = 1e8,
+    precond: str = "tridiag",
 ) -> jax.Array:
     """Block-sparse Gauss-Newton pose-graph refinement (PCG inner solver).
 
@@ -257,11 +345,17 @@ def optimize_poses_sparse(
     system — use this beyond ~1k poses (10k poses optimize in seconds on
     CPU, and the per-iteration work is all batched 6-vector math that
     vectorizes cleanly on TPU).
+
+    ``precond``: "tridiag" (default) solves the odometry-chain backbone
+    exactly per CG application — tens of CG iterations suffice even on
+    10k-pose graphs; "jacobi" is the block-diagonal fallback (needs
+    cg_iters comparable to the graph diameter to move information along
+    the trajectory).
     """
 
     def step(states, _):
         return _sparse_gn_step(
-            states, graph, prior_weight, damping, cg_iters
+            states, graph, prior_weight, damping, cg_iters, precond
         )
 
     states, _ = jax.lax.scan(step, states0, None, length=n_iters)

@@ -98,7 +98,7 @@ def test_citydrive_odometry_and_loop_closure(drive):
     assert len(loops) >= 30, len(loops)
 
     states0, graph = graph_from_odometry(frames, loop_factors=loops)
-    opt = np.asarray(optimize_poses_sparse(jnp.asarray(states0), graph, 10, 400))
+    opt = np.asarray(optimize_poses_sparse(jnp.asarray(states0), graph, 10, 50))
     ate_ref = ate_rmse(list(states_to_poses(opt)), ref)
     # Observed: refinement 0.11 m -> 0.03 m.  Require a genuine improvement
     # and an absolute band.

@@ -178,11 +178,14 @@ def test_sparse_scales_to_10k_poses(rng):
 
     from icet_tpu.pose_graph import optimize_poses_sparse as ops_sparse
 
-    opt = np.asarray(ops_sparse(states0, graph, 10, 400))  # warm-up + compile
+    # Odometry-backbone (block-tridiagonal) preconditioner: 25 CG iterations
+    # match what block-Jacobi needed 400 for (the backbone solve propagates
+    # information along the whole chain in one application).
+    opt = np.asarray(ops_sparse(states0, graph, 10, 25))  # warm-up + compile
     start = time.perf_counter()
-    opt = np.asarray(ops_sparse(states0, graph, 10, 400))
+    opt = np.asarray(ops_sparse(states0, graph, 10, 25))
     elapsed = time.perf_counter() - start
-    assert elapsed < 30.0, f"10k-pose solve took {elapsed:.1f}s"
+    assert elapsed < 15.0, f"10k-pose solve took {elapsed:.1f}s"
 
     # Truth relative to pose 0 (gauge).
     T0 = np.asarray(pose_matrix(jnp.asarray(s_true[0])))
