@@ -58,60 +58,97 @@ def radial_cluster_bounds(
       ClusterResult with dense (V+1,) tables.
     """
     n = r.shape[0]
+    v1 = n_voxels + 1
     vid = jnp.where(valid, vid, n_voxels).astype(jnp.int32)
 
-    # Lexicographic sort by (voxel id, range); invalid points sort last.
-    vid_s, r_s = jax.lax.sort((vid, r), num_keys=2)
+    # PROBE rows: one per voxel id (sentinel included) with r = +inf, so
+    # after the lexicographic sort each probe sits at the END of its voxel
+    # segment.  Per-voxel answers are then read from the probe rows with one
+    # small extraction sort — no binary search anywhere (searchsorted's
+    # 17 serialized gather rounds cost ~230 us on the chip, more than the
+    # whole sort).
+    probe_vid = jnp.arange(v1, dtype=jnp.int32)
+    vid_a = jnp.concatenate([vid, probe_vid])
+    r_a = jnp.concatenate([r, jnp.full((v1,), jnp.inf, r.dtype)])
+    flag_a = jnp.concatenate(
+        [jnp.zeros((n,), jnp.int32), jnp.ones((v1,), jnp.int32)]
+    )
+    vid_s, r_s, probe_s = jax.lax.sort((vid_a, r_a, flag_a), num_keys=2)
+    na = n + v1
 
-    idx = jnp.arange(n, dtype=jnp.int32)
+    idx = jnp.arange(na, dtype=jnp.int32)
     prev_vid = jnp.concatenate([jnp.full((1,), -1, jnp.int32), vid_s[:-1]])
     prev_r = jnp.concatenate([jnp.zeros((1,), r_s.dtype), r_s[:-1]])
-    # A new run starts at a spike change or a radial gap.
+    # A new run starts at a spike change or a radial gap.  Probe rows always
+    # break (inf gap), so runs can never span a probe; inf - inf = NaN > gap
+    # is False for adjacent probes of empty segments, but their vid differs.
     brk = (vid_s != prev_vid) | ((r_s - prev_r) > gap)
 
-    # Index of the first element of each run (segmented via cummax).
-    run_start = jax.lax.cummax(jnp.where(brk, idx, 0))
-    # Index of the last element of each run: next break index - 1, found with
-    # a reversed cummin over future break positions.
-    nxt_brk_incl = jax.lax.cummin(
-        jnp.where(brk, idx, _BIG), reverse=True
-    )  # nearest break at-or-before-looking-forward from i (inclusive)
-    # For element i we need the nearest break strictly AFTER i:
-    nxt_brk = jnp.concatenate([nxt_brk_incl[1:], jnp.full((1,), _BIG, jnp.int32)])
-    run_end = jnp.where(nxt_brk == _BIG, n - 1, nxt_brk - 1)
-    run_len = run_end - run_start + 1
+    # A run starting at i has >= min_pts elements iff no break occurs at
+    # i+1 .. i+min_pts-1; a run ENDING at i iff no break at i-min_pts+2 .. i.
+    # Both windowed ORs come from ONE cumsum of brk (positions outside the
+    # array count as breaks, handled by padding the cumsum with its edge
+    # growth) — this replaces the reverse cummins of the previous
+    # formulation with a single forward scan.
+    def _shift_left(a, s):
+        return jnp.concatenate([a[s:], jnp.ones((s,), bool)])
 
-    pt_ok = vid_s < n_voxels
-    qualifies = pt_ok & (run_len >= min_pts)
-
-    # First qualifying run per voxel: min run_start over qualifying elements.
-    if (n_voxels + 1) * (n + 1) < 2**31:
-        # Fast path: a 65k->V scatter (segment_min) costs ~0.5 ms on the chip
-        # where prefix scans cost ~0.05 ms.  Pack (voxel, candidate) into one
-        # key — later voxels have strictly larger keys, so a plain reverse
-        # cummin never crosses a segment boundary and its value at each
-        # voxel's first row IS that voxel's min.  Read those rows with a
-        # binary-search gather (V lookups) instead of scattering N rows.
-        x = jnp.where(qualifies, run_start, n)  # in-segment "no run" sentinel
-        key = vid_s * (n + 1) + x
-        rev = jax.lax.cummin(key, reverse=True)
-        seg_start = jnp.searchsorted(
-            vid_s, jnp.arange(n_voxels + 1, dtype=jnp.int32)
-        ).astype(jnp.int32)
-        tbl = rev[jnp.minimum(seg_start, n - 1)]
-        owner = tbl // (n + 1)
-        first_start = tbl % (n + 1)
-        found = (owner == jnp.arange(n_voxels + 1)) & (first_start < n)
+    w = min_pts - 1
+    if w > 0:
+        c = jnp.cumsum(brk.astype(jnp.int32))  # c[i] = # breaks at 0..i
+        # breaks in (i, i+w]: pad the tail as all-break.
+        c_fwd = jnp.concatenate(
+            [c[w:], c[-1] + jnp.arange(1, w + 1, dtype=jnp.int32)]
+        )
+        fwd_broken = (c_fwd - c) > 0
+        # breaks in (i-w, i]: c[i] - c[i-w] counts brk at i-w+1 .. i.
+        c_bwd = jnp.concatenate(
+            [-jnp.arange(w, 0, -1, dtype=jnp.int32), c[:-w]]
+        )
+        bwd_broken = (c - c_bwd) > 0
     else:
-        cand = jnp.where(qualifies, run_start, _BIG)
+        fwd_broken = bwd_broken = jnp.zeros((na,), bool)
+
+    real = probe_s == 0
+    pt_ok = (vid_s < n_voxels) & real
+    is_end = _shift_left(brk, 1)  # next row starts a new run (or array ends)
+    q_start = brk & pt_ok & ~fwd_broken  # starts of qualifying runs
+    q_end = is_end & pt_ok & ~bwd_broken  # ends of qualifying runs
+
+    # First qualifying run per voxel = min index of a qualifying start; its
+    # end = min index of a qualifying end (runs are disjoint and ordered, so
+    # the first qualifying end belongs to the first qualifying run).  Pack
+    # (voxel id, na - idx) so a FORWARD cummax read at the probe row yields
+    # the per-segment min: every row contributes at least its segment base
+    # vid*(na+1), so earlier segments can never win the max, and the probe's
+    # own contribution (code 0) guarantees the read is in-segment.
+    if v1 * (na + 1) < 2**31:
+        base = vid_s * (na + 1)
+        fwd_s = jax.lax.cummax(base + jnp.where(q_start, na - idx, 0))
+        fwd_e = jax.lax.cummax(base + jnp.where(q_end, na - idx, 0))
+        # Extraction sort: probe rows (unique vids) to the front, in order.
+        key_x = jnp.where(real, jnp.int32(na), vid_s)
+        _, t_s, t_e = jax.lax.sort((key_x, fwd_s, fwd_e), num_keys=1)
+        code_s = t_s[:v1] % (na + 1)
+        code_e = t_e[:v1] % (na + 1)
+        found = code_s > 0
+        first_start = jnp.where(found, na - code_s, 0)
+        first_end = jnp.where(found, na - code_e, 0)
+    else:
+        cand_s = jnp.where(q_start, idx, _BIG)
+        cand_e = jnp.where(q_end, idx, _BIG)
         first_start = jax.ops.segment_min(
-            cand, vid_s, num_segments=n_voxels + 1, indices_are_sorted=True
+            cand_s, vid_s, num_segments=v1, indices_are_sorted=True
+        )
+        first_end = jax.ops.segment_min(
+            cand_e, vid_s, num_segments=v1, indices_are_sorted=True
         )
         found = first_start < _BIG
-    sel = jnp.where(found, first_start, 0)
+        first_start = jnp.where(found, first_start, 0)
+        first_end = jnp.where(found, first_end, 0)
 
-    r_inner = jnp.maximum(r_s[sel] - buffer, 0.0)
-    r_outer = r_s[jnp.where(found, run_end[sel], 0)] + buffer
+    r_inner = jnp.maximum(r_s[first_start] - buffer, 0.0)
+    r_outer = r_s[first_end] + buffer
     bounds = jnp.stack(
         [jnp.where(found, r_inner, 0.0), jnp.where(found, r_outer, 0.0)], axis=-1
     )

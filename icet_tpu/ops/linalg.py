@@ -189,6 +189,43 @@ def eigh_small_warm(A: jax.Array, V0: jax.Array, sweeps: int = 3):
     return w, jnp.matmul(V0, V1, precision=_HI)
 
 
+def eigh_small_warm_safe(A: jax.Array, V0: jax.Array, rtol: float = 1e-5):
+    """Warm-started Jacobi with ONE polishing sweep and a convergence
+    safeguard.
+
+    Across Gauss-Newton iterations the normal equations change slowly, so a
+    single sweep from the previous basis is past f32 convergence (Jacobi is
+    quadratic) — but a pathological jump (e.g. the moving-object filter
+    toggling many voxels at its start iteration) could leave residual
+    off-diagonal mass.  The safeguard measures it and runs one more sweep
+    under ``lax.cond`` only when ``off > rtol * ||diag||`` — the common case
+    pays 5 rotation rounds instead of 10 plus two 6x6 matmuls.
+    """
+    A0 = jnp.matmul(
+        jnp.matmul(jnp.swapaxes(V0, -1, -2), A, precision=_HI), V0,
+        precision=_HI,
+    )
+    w1, V1 = eigh_small(A0, sweeps=1)
+    R = jnp.matmul(
+        jnp.matmul(jnp.swapaxes(V1, -1, -2), A0, precision=_HI), V1,
+        precision=_HI,
+    )
+    dg = jnp.diagonal(R, axis1=-2, axis2=-1)
+    off = jnp.linalg.norm(R - dg[..., None] * jnp.eye(R.shape[-1], dtype=R.dtype))
+    converged = off <= rtol * jnp.maximum(jnp.linalg.norm(dg), 1e-30)
+
+    def _done():
+        return w1, jnp.matmul(V0, V1, precision=_HI)
+
+    def _polish():
+        w2, V2 = eigh_small(R, sweeps=1)
+        return w2, jnp.matmul(
+            V0, jnp.matmul(V1, V2, precision=_HI), precision=_HI
+        )
+
+    return jax.lax.cond(converged, _done, _polish)
+
+
 def psd_pinv(A: jax.Array, rcond: float = 1e-7, sweeps: int = 8) -> jax.Array:
     """Pseudo-inverse of batched small symmetric PSD matrices.
 

@@ -149,6 +149,44 @@ def voxel_moment_sums(
     return _accumulate_segsum(feats, vid, n_voxels)
 
 
+def finalize_moments_planes(sums: jax.Array, anchors: jax.Array):
+    """Plane-form finalize: (count (V,), mean (V, 3), cov6 (V, 6)).
+
+    ``cov6`` packs the symmetric sample covariance as
+    ``[xx, yy, zz, xy, xz, yz]`` — the hot per-iteration path consumes
+    covariances entry-wise (ops/wls_planes.py), and the (V, 3, 3) AoS
+    round-trip of :func:`finalize_moments` carries 3/128-lane layouts
+    through every op.
+    """
+    count = sums[:, 0]
+    safe_n = jnp.maximum(count, 1.0)
+    gbar = sums[:, 1:4] / safe_n[:, None]
+    mean = anchors + gbar
+    denom = jnp.maximum(count - 1.0, 1.0)
+    gx, gy, gz = gbar[:, 0], gbar[:, 1], gbar[:, 2]
+    pairs = (
+        (4, gx * gx), (5, gy * gy), (6, gz * gz),
+        (7, gx * gy), (8, gx * gz), (9, gy * gz),
+    )
+    cov6 = jnp.stack(
+        [(sums[:, i] - safe_n * g2) / denom for i, g2 in pairs], axis=-1
+    )
+    return count, mean, cov6
+
+
+def cov6_to_matrix(cov6: jax.Array) -> jax.Array:
+    """(V, 6) packed symmetric planes -> (V, 3, 3)."""
+    xx, yy, zz, xy, xz, yz = (cov6[:, i] for i in range(6))
+    return jnp.stack(
+        [
+            jnp.stack([xx, xy, xz], -1),
+            jnp.stack([xy, yy, yz], -1),
+            jnp.stack([xz, yz, zz], -1),
+        ],
+        axis=-2,
+    )
+
+
 def finalize_moments(sums: jax.Array, anchors: jax.Array) -> VoxelMoments:
     """Turn (possibly psum'd) raw sums into count / mean / sample covariance."""
     count = sums[:, 0]

@@ -66,14 +66,14 @@ def _pinv3_planes(R, rcond, sweeps=5):
 
 
 def eigh3_planes(cov, sweeps=6):
-    """Plane-form symmetric 3x3 eigendecomposition of a (V, 3, 3) batch.
+    """Plane-form symmetric 3x3 eigendecomposition of a (V, 3, 3) batch
+    (or (V, 6) packed symmetric planes).
 
     Returns (eigvals (V, 3) ascending, eigvecs-as-columns (V, 3, 3)) —
     interface-compatible with linalg.eigh_small but with V on lanes
     throughout (used by prepare_reference on the voxel covariances).
     """
-    R = [[cov[:, i, j] for j in range(3)] for i in range(3)]
-    A = [[R[i][j] for j in range(3)] for i in range(3)]
+    A = _sym_planes(cov)
     one = jnp.ones_like(A[0][0])
     zero = jnp.zeros_like(A[0][0])
     Vm = [[one, zero, zero], [zero, one, zero], [zero, zero, one]]
@@ -138,6 +138,16 @@ def residual_compact_planes(basis, lmask, mean1, mean2):
     return jnp.stack(out, axis=-1)
 
 
+_SYM6 = ((0, 3, 4), (3, 1, 5), (4, 5, 2))  # (i, j) -> packed cov6 column
+
+
+def _sym_planes(cov):
+    """(V, 3, 3) AoS or (V, 6) packed symmetric -> 3x3 list of (V,) planes."""
+    if cov.ndim == 3:
+        return [[cov[:, i, j] for j in range(3)] for i in range(3)]
+    return [[cov[:, _SYM6[i][j]] for j in range(3)] for i in range(3)]
+
+
 def assemble_normal_equations(
     basis, lmask, cov1, count1, cov2, count2, mean1, mean2, dR, cm, rcond
 ):
@@ -146,7 +156,9 @@ def assemble_normal_equations(
     Args:
       basis: (V, 3, 3) eigenvectors-as-columns.
       lmask: (V, 3) axis keep mask.
-      cov1/cov2: (V, 3, 3); count1/count2: (V,).
+      cov1/cov2: (V, 3, 3), or (V, 6) packed [xx, yy, zz, xy, xz, yz]
+        (moments.finalize_moments_planes — keeps the hot path off the
+        3/128-lane AoS layout); count1/count2: (V,).
       mean1/mean2: (V, 3).
       dR: (3, 3, 3) rotation derivative scalars (dR[..., k] = dR/da_k).
       cm: (V,) f32 correspondence mask.
@@ -158,7 +170,9 @@ def assemble_normal_equations(
     P = [[lmask[:, i] * basis[:, j, i] for j in range(3)] for i in range(3)]
     n1 = jnp.maximum(count1 - 1.0, 1.0)
     n2 = jnp.maximum(count2 - 1.0, 1.0)
-    R = [[cov1[:, i, j] / n1 + cov2[:, i, j] / n2 for j in range(3)]
+    c1p = _sym_planes(cov1)
+    c2p = _sym_planes(cov2)
+    R = [[c1p[i][j] / n1 + c2p[i][j] / n2 for j in range(3)]
          for i in range(3)]
     res = [mean2[:, j] - mean1[:, j] for j in range(3)]
     res_c = [sum(P[i][j] * res[j] for j in range(3)) for i in range(3)]

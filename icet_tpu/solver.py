@@ -46,7 +46,7 @@ from icet_tpu.config import ICETConfig
 from icet_tpu.ops.clustering import membership, radial_cluster_bounds
 from icet_tpu.ops.geometry import cart_to_spherical, transform_points
 from icet_tpu.ops.grid import voxel_anchors, voxel_ids
-from icet_tpu.ops.linalg import eigh_small, eigh_small_warm
+from icet_tpu.ops.linalg import eigh_small, eigh_small_warm_safe
 from icet_tpu.ops.moments import voxel_moments
 
 _HI = jax.lax.Precision.HIGHEST
@@ -181,15 +181,23 @@ def prepare_reference(
 
     method = _moment_method(cfg)
     if method == "fused":
-        from icet_tpu.ops.moments import finalize_moments
+        from icet_tpu.ops.moments import (
+            VoxelMoments,
+            cov6_to_matrix,
+            finalize_moments_planes,
+        )
 
         sums = _fused_sums(
             scan1, jnp.zeros(6, scan1.dtype), clusters.bounds, anchors, cfg
         )
         if axis_name is not None:
             sums = jax.lax.psum(sums, axis_name)
-        moments = finalize_moments(sums, anchors)
+        count, mean, cov6 = finalize_moments_planes(sums, anchors)
+        moments = VoxelMoments(
+            count=count, mean=mean, cov=cov6_to_matrix(cov6)
+        )
     else:
+        cov6 = None
         rtp = cart_to_spherical(scan1)
         r = rtp[..., 0]
         valid_pt = r >= cfg.min_range
@@ -214,7 +222,7 @@ def prepare_reference(
 
     from icet_tpu.ops.wls_planes import eigh3_planes
 
-    eigvals, basis = eigh3_planes(moments.cov)
+    eigvals, basis = eigh3_planes(cov6 if cov6 is not None else moments.cov)
     lmask = _sigma_axis_mask(
         moments.mean, eigvals, basis, clusters.bounds, valid, cfg
     )
@@ -306,13 +314,16 @@ def _iteration(
 ):
     method = _moment_method(cfg)
     if method == "fused":
-        # Single Pallas sweep: transform + rebin + anchored accumulation.
-        from icet_tpu.ops.moments import finalize_moments
+        # Windowed XLA sweep: transform + rebin + anchored accumulation
+        # (ops/windowed_moments.py), finalized in plane form — the scan-2
+        # covariance stays packed (V+1, 6) and never takes the 3/128-lane
+        # (V, 3, 3) AoS layout inside the GN loop.
+        from icet_tpu.ops.moments import finalize_moments_planes
 
         sums = _fused_sums(scan2, X, model.bounds, model.anchors, cfg)
         if axis_name is not None:
             sums = jax.lax.psum(sums, axis_name)
-        m2 = finalize_moments(sums, model.anchors)
+        count2, mean2, cov2 = finalize_moments_planes(sums, model.anchors)
     else:
         valid_pt2 = jnp.linalg.norm(scan2, axis=-1) >= cfg.min_range
         p2 = transform_points(scan2, X)
@@ -330,8 +341,9 @@ def _iteration(
             block=cfg.moment_block,
             axis_name=axis_name,
         )
+        count2, mean2, cov2 = m2.count, m2.mean, m2.cov
 
-    corr = model.valid & (m2.count >= cfg.min_pts)
+    corr = model.valid & (count2 >= cfg.min_pts)
     if corr_mask is not None:
         # External per-voxel rejection (e.g. the DNN perspective-shift
         # filter, reference ICET_spherical.py:380-383).
@@ -346,7 +358,7 @@ def _iteration(
     )
 
     res_compact = residual_compact_planes(
-        model.basis, model.lmask, model.mean, m2.mean
+        model.basis, model.lmask, model.mean, mean2
     )
 
     # Moving-object rejection (reference ICET_spherical.py:175-285).
@@ -355,9 +367,12 @@ def _iteration(
         bad_res = jnp.any(
             jnp.abs(res_compact) > cfg.rm_residual_thresh, axis=-1
         )
-        yaw_delta = jnp.abs(
-            _covariance_yaw(model.cov) - _covariance_yaw(m2.cov)
+        yaw2 = (
+            jnp.arctan2(-cov2[:, 3], cov2[:, 0])
+            if cov2.ndim == 2
+            else _covariance_yaw(cov2)
         )
+        yaw_delta = jnp.abs(_covariance_yaw(model.cov) - yaw2)
         bad_yaw = yaw_delta > cfg.rm_yaw_thresh
         active = it >= cfg.rm_start_iter
         bad = corr & (bad_res | bad_yaw) & active
@@ -372,8 +387,8 @@ def _iteration(
 
     dR = rotation_jacobian(X[3:6])
     HTWH, HTWdz, _ = assemble_normal_equations(
-        model.basis, model.lmask, model.cov, model.count, m2.cov, m2.count,
-        model.mean, m2.mean, dR, cm, cfg.pinv_rcond,
+        model.basis, model.lmask, model.cov, model.count, cov2, count2,
+        model.mean, mean2, dR, cm, cfg.pinv_rcond,
     )
 
     # Global condition pruning (reference checkCondition, icet.cpp:443-492 /
@@ -386,8 +401,9 @@ def _iteration(
         # Warm-start from the previous iteration's eigenbasis: the normal
         # equations change slowly across GN iterations and the cold 8-sweep
         # sequential Jacobi on this single 6x6 was the top op in the trace.
+        # One polishing sweep + an off-diagonal safeguard (ops/linalg.py).
         # (Iteration 0 is unrolled in register() and runs the cold path.)
-        w6, U2 = eigh_small_warm(HTWH, U2_warm, sweeps=2)
+        w6, U2 = eigh_small_warm_safe(HTWH, U2_warm)
     cond_full = jnp.abs(w6[-1]) / jnp.maximum(jnp.abs(w6[0]), 1e-30)
     # Keep axis k iff lam_max / lam_k stays under the cutoff; an all-zero
     # spectrum (no correspondences) keeps nothing, making the update a no-op
@@ -432,12 +448,17 @@ def register(
     cfg: ICETConfig,
     axis_name: str | None = None,
     corr_mask: jax.Array | None = None,
+    want_static_mask: bool = True,
 ) -> RegistrationResult:
     """Solve for the 6-DOF transform aligning scan 2 to the voxel model.
 
     Under shard_map with ``axis_name``, ``scan2`` is the local point shard and
     the returned ``static_mask`` covers only that shard; everything else is
     replicated across the axis.
+
+    ``want_static_mask=False`` skips the final cloud2_static pass (an extra
+    transform + rebin + per-point table gather) and returns an empty (0,)
+    mask — the odometry hot path doesn't consume it.
     """
     # Iteration 0 is unrolled: it runs the cold eigendecomposition and seeds
     # the warm eigenbasis carried through the scanned remaining iterations
@@ -454,7 +475,44 @@ def register(
         return (X_new, pred_stds, Q, corr, U2), diag
 
     init = (X1, ps0, Q0, corr0, U2_0)
-    if cfg.n_iters > 1:
+    if cfg.n_iters > 1 and cfg.convergence_tol > 0.0:
+        # Early exit: run iterations under lax.while_loop until |dx| < tol
+        # (n_iters stays the hard cap).  Under vmap the loop runs until all
+        # lanes converge; under shard_map every device sees the same
+        # (psummed) dx so trip counts agree.  Diagnostics for skipped
+        # iterations repeat the last executed values — so dx_norm[-1] is
+        # the true final step norm, not a misleading zero.
+        n_it = cfg.n_iters
+        tol = cfg.convergence_tol
+
+        diag_buf = jax.tree_util.tree_map(
+            lambda v: jnp.zeros((n_it,) + v.shape, v.dtype).at[0].set(v),
+            diag0,
+        )
+
+        def w_cond(carry):
+            it, _, _, _, _, _, _, dx_prev = carry
+            return (it < n_it) & (dx_prev >= tol)
+
+        def w_body(carry):
+            it, X, _, _, _, U2_warm, diags, _ = carry
+            X_new, pred_stds, Q, corr, U2, d = _iteration(
+                model, scan2, X, it, cfg, axis_name, corr_mask, U2_warm
+            )
+            diags = jax.tree_util.tree_map(
+                lambda buf, v: buf.at[it].set(v), diags, d
+            )
+            return (it + 1, X_new, pred_stds, Q, corr, U2, diags, d.dx_norm)
+
+        carry0 = (
+            jnp.int32(1), X1, ps0, Q0, corr0, U2_0, diag_buf, diag0.dx_norm
+        )
+        it_end, X, pred_stds, Q, corr, _, diags, _ = jax.lax.while_loop(
+            w_cond, w_body, carry0
+        )
+        fill = jnp.minimum(jnp.arange(n_it), it_end - 1)
+        diags = jax.tree_util.tree_map(lambda buf: buf[fill], diags)
+    elif cfg.n_iters > 1:
         (X, pred_stds, Q, corr, _), diags_rest = jax.lax.scan(
             body, init, jnp.arange(1, cfg.n_iters)
         )
@@ -465,16 +523,19 @@ def register(
         X, pred_stds, Q, corr = X1, ps0, Q0, corr0
         diags = jax.tree_util.tree_map(lambda a: a[None], diag0)
 
-    # Scan-2 points inside used (non-moving) voxels at the final estimate
-    # (reference cloud2_static, ICET_spherical.py:482-487).
-    raw_ok = jnp.linalg.norm(scan2, axis=-1) >= cfg.min_range
-    p2 = transform_points(scan2, X)
-    rtp2 = cart_to_spherical(p2)
-    vid2 = voxel_ids(rtp2, cfg)
-    member2 = membership(
-        vid2, rtp2[..., 0], raw_ok, model.bounds, cfg.n_voxels
-    )
-    static_mask = member2 & corr[jnp.where(member2, vid2, cfg.n_voxels)]
+    if want_static_mask:
+        # Scan-2 points inside used (non-moving) voxels at the final estimate
+        # (reference cloud2_static, ICET_spherical.py:482-487).
+        raw_ok = jnp.linalg.norm(scan2, axis=-1) >= cfg.min_range
+        p2 = transform_points(scan2, X)
+        rtp2 = cart_to_spherical(p2)
+        vid2 = voxel_ids(rtp2, cfg)
+        member2 = membership(
+            vid2, rtp2[..., 0], raw_ok, model.bounds, cfg.n_voxels
+        )
+        static_mask = member2 & corr[jnp.where(member2, vid2, cfg.n_voxels)]
+    else:
+        static_mask = jnp.zeros((0,), bool)
 
     return RegistrationResult(
         X=X, pred_stds=pred_stds, Q=Q, diagnostics=diags, static_mask=static_mask
@@ -518,7 +579,7 @@ def odometry_step_jit(
     frame's voxel model AND fit the new scan's own model for the next frame —
     one device dispatch per frame instead of two (dispatch latency matters at
     sub-100us solve times)."""
-    res = register(model, scan, x0, cfg)
+    res = register(model, scan, x0, cfg, want_static_mask=False)
     new_model = prepare_reference(scan, cfg)
     return res, new_model
 
