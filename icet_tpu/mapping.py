@@ -171,6 +171,7 @@ class MapMaker:
         map_cfg: MapConfig | None = None,
         odo_cfg: OdometryConfig | None = None,
         seed: int = 0,
+        snapshot_every: int = 25,
     ):
         from icet_tpu.config import PROFILES
 
@@ -181,8 +182,58 @@ class MapMaker:
         self._model = None
         self._index = 0
         self.state = init_map(self.map_cfg)
+        # Device-loss recovery: the ring map is snapshotted to the host every
+        # ``snapshot_every`` frames (~8 MB at the default 600k capacity —
+        # ~0.3 MB/frame amortised); the last scan and PRNG key mirror every
+        # frame (the voxel model is refit from the scan).  Recovery restores
+        # the newest snapshot, so at most ``snapshot_every`` frames of map
+        # points are lost — trajectory continuity is preserved because the
+        # next registration re-locks against the refit model.
+        self.snapshot_every = max(int(snapshot_every), 1)
+        self._last_scan: np.ndarray | None = None
+        self._key_host = np.asarray(self._key)
+        self._snapshot = None
+        self.recoveries = 0
 
     def step(self, scan: np.ndarray) -> MapFrame | None:
+        """Feed one scan; survives device loss (see __init__)."""
+        scan = np.asarray(scan, np.float32)
+        try:
+            frame = self._step_device(scan)
+        except Exception:
+            self._recover()
+            frame = self._step_device(scan)
+        self._last_scan = scan
+        self._key_host = np.asarray(self._key)
+        if self._index % self.snapshot_every == 0:
+            self._snapshot = jax.tree_util.tree_map(np.asarray, self.state)
+        return frame
+
+    def _recover(self) -> None:
+        from icet_tpu.parallel.elastic import probe_devices
+
+        healthy = probe_devices()
+        if not healthy:
+            raise RuntimeError("no healthy devices remain")
+        dev = healthy[0]
+        self.recoveries += 1
+        self._key = jax.device_put(self._key_host, dev)
+        self.state = (
+            jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, dev), self._snapshot
+            )
+            if self._snapshot is not None
+            else init_map(self.map_cfg)
+        )
+        self._model = (
+            prepare_reference_jit(
+                jax.device_put(self._last_scan, dev), self.cfg
+            )
+            if self._last_scan is not None
+            else None
+        )
+
+    def _step_device(self, scan: np.ndarray) -> MapFrame | None:
         scan_dev = jnp.asarray(scan, jnp.float32)
         if self._model is None:
             # First scan seeds the map directly with X = 0.

@@ -76,14 +76,55 @@ class OdometryPipeline:
         self._X_prev = jnp.zeros(6, jnp.float32)
         self._T_world = jnp.eye(4, dtype=jnp.float32)
         self._index = 0
+        # Host-side mirrors for device-loss recovery: the tiny pose state
+        # plus a reference to the last ingested scan (the voxel model is a
+        # pure function of it, so recovery refits instead of mirroring the
+        # whole model).
+        self._last_scan: np.ndarray | None = None
+        self._X_host = np.zeros(6, np.float32)
+        self._T_host = np.eye(4, dtype=np.float32)
+        self.recoveries = 0
 
     def step(self, scan: np.ndarray) -> OdometryFrame | None:
-        """Feed one scan; returns None for the very first frame."""
+        """Feed one scan; returns None for the very first frame.
+
+        Survives device loss mid-stream: on a failed dispatch the pipeline
+        probes for healthy devices, re-uploads the (host-mirrored) pose
+        state, refits the voxel model from the retained previous scan —
+        bit-identical to the lost one — and retries the frame once.
+        """
+        scan = np.asarray(scan, np.float32)
+        try:
+            return self._step_device(scan)
+        except Exception:
+            self._recover()
+            return self._step_device(scan)
+
+    def _recover(self) -> None:
+        from icet_tpu.parallel.elastic import probe_devices
+
+        healthy = probe_devices()
+        if not healthy:
+            raise RuntimeError("no healthy devices remain")
+        dev = healthy[0]
+        self.recoveries += 1
+        self._X_prev = jax.device_put(self._X_host, dev)
+        self._T_world = jax.device_put(self._T_host, dev)
+        self._model = (
+            prepare_reference_jit(
+                jax.device_put(self._last_scan, dev), self.cfg
+            )
+            if self._last_scan is not None
+            else None
+        )
+
+    def _step_device(self, scan: np.ndarray) -> OdometryFrame | None:
         t0 = time.perf_counter()
         scan_dev = jnp.asarray(scan, jnp.float32)
         if self._model is None:
             self._model = prepare_reference_jit(scan_dev, self.cfg)
             self._index += 1
+            self._last_scan = scan
             return None
 
         x0 = (
@@ -106,6 +147,9 @@ class OdometryPipeline:
         self._X_prev = X
         # Next frame registers against this scan's (already fitted) model.
         self._model = next_model
+        self._last_scan = scan
+        self._X_host = np.asarray(X)
+        self._T_host = np.asarray(self._T_world)
 
         frame = OdometryFrame(
             index=self._index,

@@ -67,13 +67,15 @@ def radial_cluster_bounds(
     # small extraction sort — no binary search anywhere (searchsorted's
     # 17 serialized gather rounds cost ~230 us on the chip, more than the
     # whole sort).
+    # The probe flag rides the low bit of the sort key (vid*2 + is_probe):
+    # probes sort after every real point of their segment and before the
+    # next segment, and the sort carries one less operand.
     probe_vid = jnp.arange(v1, dtype=jnp.int32)
-    vid_a = jnp.concatenate([vid, probe_vid])
+    vid2_a = jnp.concatenate([vid * 2, probe_vid * 2 + 1])
     r_a = jnp.concatenate([r, jnp.full((v1,), jnp.inf, r.dtype)])
-    flag_a = jnp.concatenate(
-        [jnp.zeros((n,), jnp.int32), jnp.ones((v1,), jnp.int32)]
-    )
-    vid_s, r_s, probe_s = jax.lax.sort((vid_a, r_a, flag_a), num_keys=2)
+    vid2_s, r_s = jax.lax.sort((vid2_a, r_a), num_keys=2)
+    vid_s = vid2_s >> 1
+    probe_s = vid2_s & 1
     na = n + v1
 
     idx = jnp.arange(na, dtype=jnp.int32)

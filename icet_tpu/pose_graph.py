@@ -501,21 +501,49 @@ def detect_loop_candidates(
 
 
 def close_loops(
-    scans: list, candidates: list, cfg, x0_fn=None
+    scans: list, candidates: list, cfg, x0_fn=None, batch: int = 16
 ) -> list:
     """Verify loop candidates by direct registration; returns loop factors
-    (i, j, X_ij, info) for pairs that converge cleanly."""
-    from icet_tpu.solver import register_pair
+    (i, j, X_ij, info) for pairs that converge cleanly.
+
+    Registrations run vmapped in chunks of ``batch`` — one compiled program,
+    all candidates of a chunk solved in a single device dispatch (the serial
+    per-pair loop spent its wall clock on dispatch latency: ~0.5 s/pair on
+    the tunnel vs ~4 ms of device time)."""
+    import functools
+
+    from icet_tpu.solver import register_pair_impl
+
+    if not candidates:
+        return []
+
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def _batched(s1, s2, x0, cfg):
+        return jax.vmap(
+            lambda a, b, x: register_pair_impl(a, b, x, cfg)
+        )(s1, s2, x0)
 
     factors = []
-    for i, j in candidates:
-        x0 = jnp.zeros(6) if x0_fn is None else jnp.asarray(x0_fn(i, j))
-        res = register_pair(
-            jnp.asarray(scans[i]), jnp.asarray(scans[j]), x0, cfg
+    for k0 in range(0, len(candidates), batch):
+        chunk = candidates[k0 : k0 + batch]
+        pad = len(chunk) < batch and len(candidates) > batch
+        full = chunk + [chunk[-1]] * (batch - len(chunk)) if pad else chunk
+        s1 = jnp.stack([jnp.asarray(scans[i]) for i, _ in full])
+        s2 = jnp.stack([jnp.asarray(scans[j]) for _, j in full])
+        x0 = jnp.stack(
+            [
+                jnp.zeros(6)
+                if x0_fn is None
+                else jnp.asarray(x0_fn(i, j), jnp.float32)
+                for i, j in full
+            ]
         )
-        dx_final = float(np.asarray(res.diagnostics.dx_norm)[-1])
-        if not np.isfinite(dx_final) or dx_final > 0.05:
-            continue  # did not converge; reject the candidate
-        info = np.asarray(psd_pinv(res.Q))
-        factors.append((i, j, np.asarray(res.X), info))
+        res = _batched(s1, s2, x0, cfg)
+        dx_final = np.asarray(res.diagnostics.dx_norm)[:, -1]
+        X = np.asarray(res.X)
+        Q = np.asarray(jax.vmap(psd_pinv)(res.Q))
+        for b, (i, j) in enumerate(chunk):
+            if not np.isfinite(dx_final[b]) or dx_final[b] > 0.05:
+                continue  # did not converge; reject the candidate
+            factors.append((i, j, X[b], Q[b]))
     return factors

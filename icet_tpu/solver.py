@@ -414,17 +414,6 @@ def _iteration(
     inv_kept = jnp.where(keep, 1.0 / jnp.where(keep, w6, 1.0), 0.0)
     dx = _mm(U2, inv_kept * _mm(U2.T, HTWdz))
 
-    # Predicted error covariance (reference icet.cpp:410-417,
-    # ICET_spherical.py:462-463).
-    wmax = jnp.max(jnp.abs(w6))
-    invertible = jnp.abs(w6) > cfg.pinv_rcond * wmax
-    inv_all = jnp.where(invertible, 1.0 / jnp.where(invertible, w6, 1.0), 0.0)
-    Q = _mm(U2 * inv_all[None, :], U2.T)
-    pred_stds = jnp.sqrt(jnp.abs(jnp.diag(Q)))
-    # Inflate components of globally pruned axes (reference icet.cpp:469-486).
-    dropped = (~keep).astype(pred_stds.dtype)
-    pred_stds = pred_stds + jnp.abs(U2) @ dropped
-
     X_new = X + dx
     diag = IterationDiag(
         n_corr=jnp.sum(corr.astype(jnp.int32)),
@@ -433,7 +422,23 @@ def _iteration(
         n_dropped_axes=jnp.sum((~keep).astype(jnp.int32)),
         n_rejected_moving=n_rejected,
     )
-    return X_new, pred_stds, Q, corr, U2, diag
+    return X_new, w6, keep, corr, U2, diag
+
+
+def _predicted_covariance(w6, U2, keep, cfg: ICETConfig):
+    """Predicted solution error covariance + per-component stds from the
+    FINAL iteration's eigensystem (reference icet.cpp:410-417,
+    ICET_spherical.py:462-463) — hoisted out of the GN loop; only the last
+    iteration's values are ever consumed."""
+    wmax = jnp.max(jnp.abs(w6))
+    invertible = jnp.abs(w6) > cfg.pinv_rcond * wmax
+    inv_all = jnp.where(invertible, 1.0 / jnp.where(invertible, w6, 1.0), 0.0)
+    Q = _mm(U2 * inv_all[None, :], U2.T)
+    pred_stds = jnp.sqrt(jnp.abs(jnp.diag(Q)))
+    # Inflate components of globally pruned axes (reference icet.cpp:469-486).
+    dropped = (~keep).astype(pred_stds.dtype)
+    pred_stds = pred_stds + jnp.abs(U2) @ dropped
+    return pred_stds, Q
 
 
 # ---------------------------------------------------------------------------
@@ -463,18 +468,18 @@ def register(
     # Iteration 0 is unrolled: it runs the cold eigendecomposition and seeds
     # the warm eigenbasis carried through the scanned remaining iterations
     # (keeping the cold/warm branch out of the scan body).
-    X1, ps0, Q0, corr0, U2_0, diag0 = _iteration(
+    X1, w0, keep0, corr0, U2_0, diag0 = _iteration(
         model, scan2, x0.astype(scan2.dtype), 0, cfg, axis_name, corr_mask, None
     )
 
     def body(carry, it):
         X, _, _, _, U2_warm = carry
-        X_new, pred_stds, Q, corr, U2, diag = _iteration(
+        X_new, w6, keep, corr, U2, diag = _iteration(
             model, scan2, X, it, cfg, axis_name, corr_mask, U2_warm
         )
-        return (X_new, pred_stds, Q, corr, U2), diag
+        return (X_new, w6, keep, corr, U2), diag
 
-    init = (X1, ps0, Q0, corr0, U2_0)
+    init = (X1, w0, keep0, corr0, U2_0)
     if cfg.n_iters > 1 and cfg.convergence_tol > 0.0:
         # Early exit: run iterations under lax.while_loop until |dx| < tol
         # (n_iters stays the hard cap).  Under vmap the loop runs until all
@@ -491,37 +496,40 @@ def register(
         )
 
         def w_cond(carry):
-            it, _, _, _, _, _, _, dx_prev = carry
+            it, _, _, dx_prev = carry
             return (it < n_it) & (dx_prev >= tol)
 
         def w_body(carry):
-            it, X, _, _, _, U2_warm, diags, _ = carry
-            X_new, pred_stds, Q, corr, U2, d = _iteration(
+            it, (X, _, _, _, U2_warm), diags, _ = carry
+            X_new, w6, keep, corr, U2, d = _iteration(
                 model, scan2, X, it, cfg, axis_name, corr_mask, U2_warm
             )
             diags = jax.tree_util.tree_map(
                 lambda buf, v: buf.at[it].set(v), diags, d
             )
-            return (it + 1, X_new, pred_stds, Q, corr, U2, diags, d.dx_norm)
+            return (
+                it + 1, (X_new, w6, keep, corr, U2), diags, d.dx_norm
+            )
 
-        carry0 = (
-            jnp.int32(1), X1, ps0, Q0, corr0, U2_0, diag_buf, diag0.dx_norm
-        )
-        it_end, X, pred_stds, Q, corr, _, diags, _ = jax.lax.while_loop(
+        carry0 = (jnp.int32(1), init, diag_buf, diag0.dx_norm)
+        it_end, (X, w6, keep, corr, _U2), diags, _ = jax.lax.while_loop(
             w_cond, w_body, carry0
         )
         fill = jnp.minimum(jnp.arange(n_it), it_end - 1)
         diags = jax.tree_util.tree_map(lambda buf: buf[fill], diags)
+        pred_stds, Q = _predicted_covariance(w6, _U2, keep, cfg)
     elif cfg.n_iters > 1:
-        (X, pred_stds, Q, corr, _), diags_rest = jax.lax.scan(
+        (X, w6, keep, corr, _U2), diags_rest = jax.lax.scan(
             body, init, jnp.arange(1, cfg.n_iters)
         )
         diags = jax.tree_util.tree_map(
             lambda a, b: jnp.concatenate([a[None], b], axis=0), diag0, diags_rest
         )
+        pred_stds, Q = _predicted_covariance(w6, _U2, keep, cfg)
     else:
-        X, pred_stds, Q, corr = X1, ps0, Q0, corr0
+        X, corr = X1, corr0
         diags = jax.tree_util.tree_map(lambda a: a[None], diag0)
+        pred_stds, Q = _predicted_covariance(w0, U2_0, keep0, cfg)
 
     if want_static_mask:
         # Scan-2 points inside used (non-moving) voxels at the final estimate

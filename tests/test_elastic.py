@@ -102,3 +102,83 @@ def test_elastic_raises_on_non_device_error(batch):
     with pytest.raises(ValueError):
         runner.run(s1, s2, x0)
     assert runner.rebuilds == 0
+
+
+def _drive_scans(n=6):
+    from icet_tpu.datasets.synthetic import simulate_scan
+
+    scans = []
+    for k in range(n):
+        t = np.array([0.25 * k, 0.05 * k, 0.0], np.float32)
+        scans.append(
+            np.asarray(
+                simulate_scan(pose_t=t, n_beams=16, n_azimuth=128, seed=7),
+                np.float32,
+            )
+        )
+    return scans
+
+
+def test_odometry_pipeline_recovers_from_device_loss(monkeypatch):
+    """A failed dispatch mid-stream must not kill streaming odometry: the
+    pipeline refits the model from the retained scan + host pose mirrors and
+    the recovered trajectory is BIT-IDENTICAL to an unfailed run."""
+    import icet_tpu.odometry as odo
+    from icet_tpu.odometry import OdometryPipeline
+
+    scans = _drive_scans()
+    clean = OdometryPipeline(CFG)
+    frames_clean = [f for f in (clean.step(s) for s in scans) if f is not None]
+
+    real_step = odo.odometry_step_jit
+    calls = {"n": 0}
+
+    def flaky(*args, **kw):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("simulated device loss")
+        return real_step(*args, **kw)
+
+    monkeypatch.setattr(odo, "odometry_step_jit", flaky)
+    pipe = OdometryPipeline(CFG)
+    frames = [f for f in (pipe.step(s) for s in scans) if f is not None]
+
+    assert pipe.recoveries == 1
+    assert len(frames) == len(frames_clean)
+    for a, b in zip(frames, frames_clean):
+        np.testing.assert_array_equal(a.X, b.X)
+        np.testing.assert_array_equal(a.T_world, b.T_world)
+        assert a.diverged == b.diverged
+
+
+def test_mapmaker_recovers_from_device_loss(monkeypatch):
+    """The mapping pipeline restores the newest host snapshot of the ring
+    map (+ PRNG key + model refit) and retries; with snapshot_every=1 the
+    recovered run is bit-identical to an unfailed one."""
+    import icet_tpu.mapping as mp
+    from icet_tpu.config import MapConfig
+    from icet_tpu.mapping import MapMaker
+
+    scans = _drive_scans()
+    mcfg = MapConfig(capacity=20_000, points_per_scan=500)
+    clean = MapMaker(CFG, mcfg, snapshot_every=1)
+    for s in scans:
+        clean.step(s)
+
+    real_step = mp.map_step_jit
+    calls = {"n": 0}
+
+    def flaky(*args, **kw):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("simulated device loss")
+        return real_step(*args, **kw)
+
+    monkeypatch.setattr(mp, "map_step_jit", flaky)
+    maker = MapMaker(CFG, mcfg, snapshot_every=1)
+    for s in scans:
+        maker.step(s)
+
+    assert maker.recoveries == 1
+    np.testing.assert_array_equal(maker.map_points(), clean.map_points())
+    np.testing.assert_array_equal(maker.snail_trail(), clean.snail_trail())
