@@ -134,8 +134,12 @@ def main():
             info=np.asarray(graph.info),
             gt=np.stack(ref),
         )
+    # Cauchy robust kernel at the 6-DOF 95% chi-square radius: inconsistent
+    # or overconfident loop factors degrade gracefully.
     opt = np.asarray(
-        optimize_poses_sparse(jnp.asarray(states0), graph, 10, 50)
+        optimize_poses_sparse(
+            jnp.asarray(states0), graph, 10, 50, robust_delta=3.5
+        )
     )
     est_opt = states_to_poses(opt)
     ate_opt = ate_rmse(list(est_opt), ref)

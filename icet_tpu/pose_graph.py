@@ -161,7 +161,7 @@ def optimize_poses(
 
 
 def _sparse_gn_step(states, graph, prior_weight, damping, cg_iters,
-                    precond_kind="tridiag"):
+                    precond_kind="tridiag", robust_delta=0.0):
     """One Gauss-Newton step without ever densifying H.
 
     All dots run under ``default_matmul_precision("highest")`` (see
@@ -177,7 +177,8 @@ def _sparse_gn_step(states, graph, prior_weight, damping, cg_iters,
     """
     with jax.default_matmul_precision("highest"):
         return _sparse_gn_step_inner(
-            states, graph, prior_weight, damping, cg_iters, precond_kind
+            states, graph, prior_weight, damping, cg_iters, precond_kind,
+            robust_delta,
         )
 
 
@@ -244,9 +245,23 @@ def _tridiag_apply(S_inv, U, r):
 
 
 def _sparse_gn_step_inner(states, graph, prior_weight, damping, cg_iters,
-                          precond_kind="tridiag"):
+                          precond_kind="tridiag", robust_delta=0.0):
     K = states.shape[0]
     eye6 = jnp.eye(6, dtype=states.dtype)
+    if robust_delta > 0.0:
+        # Cauchy reweighting (iteratively reweighted least squares): factor
+        # weight 1 / (1 + chi2/delta^2), a REDESCENDING kernel — a grossly
+        # inconsistent loop closure (wrong data association) is effectively
+        # switched off, not merely bounded the way Huber would (a confident
+        # bad factor's bounded influence still out-pulls the odometry chain
+        # stiffness).  chi2 is computed against the ORIGINAL information
+        # each GN iteration, so weights recover as the states improve.
+        r = jax.vmap(_factor_residual)(
+            states[graph.idx_i], states[graph.idx_j], graph.meas
+        )
+        chi2 = jnp.einsum("fa,fab,fb->f", r, graph.info, r, precision=_HI)
+        w = 1.0 / (1.0 + chi2 / robust_delta**2)
+        graph = graph._replace(info=graph.info * w[:, None, None])
     blocks, rhs = _factor_blocks(states, graph)
     bi, bj = graph.idx_i, graph.idx_j
 
@@ -329,7 +344,7 @@ def _sparse_gn_step_inner(states, graph, prior_weight, damping, cg_iters,
     return states + x, jnp.linalg.norm(x)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
 def optimize_poses_sparse(
     states0: jax.Array,
     graph: PoseGraph,
@@ -338,6 +353,7 @@ def optimize_poses_sparse(
     damping: float = 1e-6,
     prior_weight: float = 1e8,
     precond: str = "tridiag",
+    robust_delta: float = 0.0,
 ) -> jax.Array:
     """Block-sparse Gauss-Newton pose-graph refinement (PCG inner solver).
 
@@ -351,11 +367,19 @@ def optimize_poses_sparse(
     10k-pose graphs; "jacobi" is the block-diagonal fallback (needs
     cg_iters comparable to the graph diameter to move information along
     the trajectory).
+
+    ``robust_delta``: > 0 enables a Cauchy robust kernel (IRLS): each
+    factor is reweighted by ``1 / (1 + chi2 / robust_delta**2)``, so a
+    single bad loop closure (wrong data association, perspective-shifted
+    re-registration) is effectively switched off instead of bending the
+    whole trajectory.  ~sqrt of the 95% chi-square quantile for 6 DOF,
+    i.e. ``3.5``, is a sensible default when enabling it.
     """
 
     def step(states, _):
         return _sparse_gn_step(
-            states, graph, prior_weight, damping, cg_iters, precond
+            states, graph, prior_weight, damping, cg_iters, precond,
+            robust_delta,
         )
 
     states, _ = jax.lax.scan(step, states0, None, length=n_iters)

@@ -265,3 +265,39 @@ def test_graph_from_odometry_frames():
     np.testing.assert_allclose(states0[1], X, atol=1e-6)
     assert graph.meas.shape == (1, 6)
     np.testing.assert_allclose(np.asarray(graph.info)[0], np.eye(6) * 1e4)
+
+
+def test_robust_kernel_resists_outlier_loop(rng):
+    """A WRONG loop-closure factor (bad data association) with confident
+    information must degrade gracefully under the Huber kernel: the robust
+    solve stays near the non-outlier solution while the plain L2 solve is
+    dragged away."""
+    from icet_tpu.pose_graph import optimize_poses_sparse
+
+    s_true = _make_circle(K=16)
+    graph = _noisy_graph(s_true, rng, loops=[(0, 15), (2, 13)])
+    states0 = jnp.asarray(_integrate(graph, 16))
+
+    clean = np.asarray(optimize_poses_sparse(states0, graph, 10, 60))
+
+    # Corrupt one loop factor: 2 m / 0.2 rad off, same confident info.
+    bad_meas = np.asarray(graph.meas).copy()
+    bad_meas[-1, :3] += np.array([2.0, -1.5, 0.5])
+    bad_meas[-1, 3:] += np.array([0.2, -0.1, 0.15])
+    bad = PoseGraph(graph.idx_i, graph.idx_j,
+                    jnp.asarray(bad_meas), graph.info)
+
+    l2 = np.asarray(optimize_poses_sparse(states0, bad, 10, 60))
+    huber = np.asarray(
+        optimize_poses_sparse(states0, bad, 10, 60, robust_delta=3.5)
+    )
+
+    err_l2 = np.linalg.norm(l2[:, :3] - clean[:, :3], axis=1).max()
+    err_huber = np.linalg.norm(huber[:, :3] - clean[:, :3], axis=1).max()
+    assert err_l2 > 0.3, err_l2  # the outlier really does corrupt plain L2
+    assert err_huber < 0.1 * err_l2, (err_huber, err_l2)
+    # And with NO outlier, the kernel must be (near) inactive.
+    huber_clean = np.asarray(
+        optimize_poses_sparse(states0, graph, 10, 60, robust_delta=3.5)
+    )
+    np.testing.assert_allclose(huber_clean, clean, atol=5e-2)
