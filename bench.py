@@ -152,6 +152,84 @@ def main() -> None:
 
     alt_ms = _slope_ms(make_odo, (c1, c2, x0), np.asarray)
 
+    # --- keyframe odometry steady state (this framework's city-scale mode:
+    # prepare paid once per keyframe, register + block-map insert per frame,
+    # spawn decision + conditional keyframe fit all inside one program) ---
+    from icet_tpu.config import BlockMapConfig, KeyframeConfig
+    from icet_tpu.keyframe import keyframe_spawn_jit, keyframe_step_jit
+    from icet_tpu.ops.geometry import compose_states
+
+    # delta_clamp must admit the drive's 1 m/frame motion (the reference's
+    # 0.3 m divergence gate assumes slower per-frame steps).
+    kf_cfg = KeyframeConfig(
+        spawn_distance=3.0, spawn_angle=0.3, delta_clamp=2.5
+    )
+    bm_cfg = BlockMapConfig()
+
+    def make_kf(chain):
+        @jax.jit
+        def g(frames, x):
+            from icet_tpu.keyframe import blockmap_init
+
+            scan0 = frames[0]
+            bm0 = blockmap_init(bm_cfg)
+            model0, bm0 = keyframe_spawn_jit(
+                bm0, scan0, jnp.zeros(6, jnp.float32), cfg, bm_cfg
+            )
+            ks = (jnp.arange(chain) + 1) % nf
+
+            def body(carry, k):
+                model, bm, x_rel, delta, world, key, n_corr0 = carry
+                scan = frames[k]
+                key, sub = jax.random.split(key)
+                res, x_rel2, delta2, _div, spawn, n_corr, bm2 = (
+                    keyframe_step_jit(
+                        model, bm, scan, x_rel, delta, sub, n_corr0,
+                        cfg, kf_cfg, bm_cfg,
+                    )
+                )
+                n_corr0 = jnp.where(n_corr0 == 0, n_corr, n_corr0)
+                world2 = compose_states(world, x_rel2)
+
+                def do_spawn(_):
+                    m2, bm3 = keyframe_spawn_jit(
+                        bm2, scan, world2, cfg, bm_cfg
+                    )
+                    return (
+                        m2, bm3, jnp.zeros(6, jnp.float32),
+                        jnp.zeros((), jnp.int32), world2,
+                    )
+
+                def keep(_):
+                    return model, bm2, x_rel2, n_corr0, world
+
+                model, bm, x_rel, n_corr0, world = jax.lax.cond(
+                    spawn, do_spawn, keep, None
+                )
+                return (model, bm, x_rel, delta2, world, key, n_corr0), None
+
+            carry0 = (
+                model0, bm0, jnp.zeros(6, jnp.float32),
+                jnp.zeros(6, jnp.float32), jnp.zeros(6, jnp.float32),
+                jax.random.PRNGKey(0), jnp.zeros((), jnp.int32),
+            )
+            (model, bm, x_rel, delta, world, _, _), _ = jax.lax.scan(
+                body, carry0, ks
+            )
+            return world + delta * 0 + x_rel * 0
+
+        return g
+
+    def _consume_kf(out):
+        out = np.asarray(out)
+        # The returned world state must show real motion — a mis-configured
+        # keyframe loop (e.g. a delta clamp that rejects every frame) would
+        # freeze at the origin and "benchmark" a broken pipeline.
+        assert np.linalg.norm(out[:3]) > 1.0, out
+        return out
+
+    kf_ms = _slope_ms(make_kf, (drive, x0), _consume_kf)
+
     # --- register-only, FIXED runlen 7 (reference's exact semantics) ---
     cfg_fixed = ICETConfig(n_iters=7)
 
@@ -179,6 +257,7 @@ def main() -> None:
         " 1 chip)",
         "vs_baseline": round(REFERENCE_MS / seq_ms, 1),
         "worst_case_frame_ms": round(alt_ms, 4),
+        "keyframe_frame_ms": round(kf_ms, 4),
         "register_only_fixed7_ms": round(reg_ms, 4),
     }
     print(json.dumps(out))

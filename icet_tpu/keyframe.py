@@ -260,7 +260,34 @@ def keyframe_step_jit(
     Returns ``(res, X_rel, delta, diverged, spawn, new_bm)``.
     """
     x0 = compose_states(x_prev_rel, delta_prev)
-    res = register(model, scan, x0, cfg)
+    # Solve in the PREDICTION frame: pre-transform the scan by the constant
+    # -velocity warm start and register only the cm-scale residual.  At
+    # keyframe baselines (1-4 m) the raw transform's parallax pushes near
+    # points past the windowed-moments span budget, silently demoting every
+    # iteration to the 2x-cost scatter fallback; the residual solve keeps
+    # the fast path.  Raw-invalid points (r < min_range) are zeroed BEFORE
+    # the pre-transform so sensor dropouts cannot resurrect at |t0| — the
+    # only semantic deviation is that points within min_range of the
+    # KEYFRAME origin (ground under the trajectory a few frames back, which
+    # the min-range gate exists to kill) are also dropped.
+    r_raw = jnp.linalg.norm(scan, axis=-1)
+    scan0 = jnp.where(
+        (r_raw >= cfg.min_range)[:, None],
+        transform_points(scan, x0),
+        0.0,
+    )
+    res = register(
+        model, scan0, jnp.zeros(6, scan.dtype), cfg, want_static_mask=False
+    )
+    X_total = compose_states(res.X, x0)
+    # Exact covariance propagation to the composed state.
+    J = jax.jacfwd(lambda d: compose_states(d, x0))(res.X)
+    Q = jnp.matmul(jnp.matmul(J, res.Q, precision=_HI), J.T, precision=_HI)
+    res = res._replace(
+        X=X_total,
+        Q=Q,
+        pred_stds=jnp.sqrt(jnp.abs(jnp.diag(Q))),
+    )
 
     delta = relative_state(x_prev_rel, res.X)
     diverged = jnp.any(jnp.abs(delta) > kf_cfg.delta_clamp)
