@@ -33,6 +33,44 @@ class ClusterResult(NamedTuple):
 _BIG = jnp.iinfo(jnp.int32).max
 
 
+def _qualifying_runs(vid_s, r_s, pt_ok, n_voxels, min_pts, gap):
+    """Run detection on the sorted (vid, r) stream.
+
+    Returns (q_start, q_end): boolean marks at the first/last element of
+    every run with >= min_pts elements whose start passes ``pt_ok``.  A run
+    starts at a spike change or a radial gap; a run of >= min_pts elements
+    has no break at i+1 .. i+min_pts-1 after its start (resp. before its
+    end) — both windowed ORs come from ONE cumsum of the break marks
+    (positions outside the array count as breaks, handled by padding the
+    cumsum with its edge growth).
+    """
+    na = vid_s.shape[0]
+    prev_vid = jnp.concatenate([jnp.full((1,), -1, jnp.int32), vid_s[:-1]])
+    prev_r = jnp.concatenate([jnp.zeros((1,), r_s.dtype), r_s[:-1]])
+    brk = (vid_s != prev_vid) | ((r_s - prev_r) > gap)
+
+    w = min_pts - 1
+    if w > 0:
+        c = jnp.cumsum(brk.astype(jnp.int32))  # c[i] = # breaks at 0..i
+        # breaks in (i, i+w]: pad the tail as all-break.
+        c_fwd = jnp.concatenate(
+            [c[w:], c[-1] + jnp.arange(1, w + 1, dtype=jnp.int32)]
+        )
+        fwd_broken = (c_fwd - c) > 0
+        # breaks in (i-w, i]: c[i] - c[i-w] counts brk at i-w+1 .. i.
+        c_bwd = jnp.concatenate(
+            [-jnp.arange(w, 0, -1, dtype=jnp.int32), c[:-w]]
+        )
+        bwd_broken = (c - c_bwd) > 0
+    else:
+        fwd_broken = bwd_broken = jnp.zeros((na,), bool)
+
+    is_end = jnp.concatenate([brk[1:], jnp.ones((1,), bool)])
+    q_start = brk & pt_ok & ~fwd_broken
+    q_end = is_end & pt_ok & ~bwd_broken
+    return q_start, q_end
+
+
 def radial_cluster_bounds(
     vid: jax.Array,
     r: jax.Array,
@@ -41,6 +79,7 @@ def radial_cluster_bounds(
     min_pts: int,
     gap: float,
     buffer: float,
+    counts: jax.Array | None = None,
 ) -> ClusterResult:
     """Compute per-voxel radial cluster bounds.
 
@@ -53,6 +92,11 @@ def radial_cluster_bounds(
       min_pts: minimum run length (reference n=25).
       gap: max in-run neighbour gap (reference thresh).
       buffer: radial padding applied to the bounds (reference buff).
+      counts: optional (V+1,) int32 EXACT per-id point counts (sentinel row
+        last) matching the (vid, valid) masking — e.g. from
+        ``ops.windowed_moments.windowed_vid_counts`` gated on overflow == 0.
+        When given, per-voxel answers are read at the cumsum(counts)-1 rows
+        directly, skipping the probe augmentation and the extraction sort.
 
     Returns:
       ClusterResult with dense (V+1,) tables.
@@ -60,6 +104,30 @@ def radial_cluster_bounds(
     n = r.shape[0]
     v1 = n_voxels + 1
     vid = jnp.where(valid, vid, n_voxels).astype(jnp.int32)
+
+    if counts is not None and v1 * (n + 1) < 2**31:
+        vid_s, r_s = jax.lax.sort((vid, r), num_keys=2)
+        idx = jnp.arange(n, dtype=jnp.int32)
+        q_start, q_end = _qualifying_runs(
+            vid_s, r_s, vid_s < n_voxels, n_voxels, min_pts, gap
+        )
+        base = vid_s * (n + 1)
+        fwd_s = jax.lax.cummax(base + jnp.where(q_start, n - idx, 0))
+        fwd_e = jax.lax.cummax(base + jnp.where(q_end, n - idx, 0))
+        seg_end = jnp.cumsum(counts).astype(jnp.int32) - 1  # (V+1,)
+        tbl_s = fwd_s[jnp.clip(seg_end, 0, n - 1)]
+        tbl_e = fwd_e[jnp.clip(seg_end, 0, n - 1)]
+        # Empty segments read an earlier segment's row; the owner check
+        # rejects them (every row contributes at least its segment base).
+        owner = tbl_s // (n + 1)
+        code_s = tbl_s % (n + 1)
+        code_e = tbl_e % (n + 1)
+        found = (owner == jnp.arange(v1, dtype=jnp.int32)) & (code_s > 0)
+        first_start = jnp.where(found, n - code_s, 0)
+        first_end = jnp.where(found, n - code_e, 0)
+        return _bounds_from_selection(
+            r_s, first_start, first_end, found, buffer
+        )
 
     # PROBE rows: one per voxel id (sentinel included) with r = +inf, so
     # after the lexicographic sort each probe sits at the END of its voxel
@@ -79,43 +147,14 @@ def radial_cluster_bounds(
     na = n + v1
 
     idx = jnp.arange(na, dtype=jnp.int32)
-    prev_vid = jnp.concatenate([jnp.full((1,), -1, jnp.int32), vid_s[:-1]])
-    prev_r = jnp.concatenate([jnp.zeros((1,), r_s.dtype), r_s[:-1]])
-    # A new run starts at a spike change or a radial gap.  Probe rows always
-    # break (inf gap), so runs can never span a probe; inf - inf = NaN > gap
-    # is False for adjacent probes of empty segments, but their vid differs.
-    brk = (vid_s != prev_vid) | ((r_s - prev_r) > gap)
-
-    # A run starting at i has >= min_pts elements iff no break occurs at
-    # i+1 .. i+min_pts-1; a run ENDING at i iff no break at i-min_pts+2 .. i.
-    # Both windowed ORs come from ONE cumsum of brk (positions outside the
-    # array count as breaks, handled by padding the cumsum with its edge
-    # growth) — this replaces the reverse cummins of the previous
-    # formulation with a single forward scan.
-    def _shift_left(a, s):
-        return jnp.concatenate([a[s:], jnp.ones((s,), bool)])
-
-    w = min_pts - 1
-    if w > 0:
-        c = jnp.cumsum(brk.astype(jnp.int32))  # c[i] = # breaks at 0..i
-        # breaks in (i, i+w]: pad the tail as all-break.
-        c_fwd = jnp.concatenate(
-            [c[w:], c[-1] + jnp.arange(1, w + 1, dtype=jnp.int32)]
-        )
-        fwd_broken = (c_fwd - c) > 0
-        # breaks in (i-w, i]: c[i] - c[i-w] counts brk at i-w+1 .. i.
-        c_bwd = jnp.concatenate(
-            [-jnp.arange(w, 0, -1, dtype=jnp.int32), c[:-w]]
-        )
-        bwd_broken = (c - c_bwd) > 0
-    else:
-        fwd_broken = bwd_broken = jnp.zeros((na,), bool)
-
+    # Probe rows always break (inf gap), so runs can never span a probe;
+    # inf - inf = NaN > gap is False for adjacent probes of empty segments,
+    # but their vid differs.
     real = probe_s == 0
     pt_ok = (vid_s < n_voxels) & real
-    is_end = _shift_left(brk, 1)  # next row starts a new run (or array ends)
-    q_start = brk & pt_ok & ~fwd_broken  # starts of qualifying runs
-    q_end = is_end & pt_ok & ~bwd_broken  # ends of qualifying runs
+    q_start, q_end = _qualifying_runs(
+        vid_s, r_s, pt_ok, n_voxels, min_pts, gap
+    )
 
     # First qualifying run per voxel = min index of a qualifying start; its
     # end = min index of a qualifying end (runs are disjoint and ordered, so
@@ -149,6 +188,10 @@ def radial_cluster_bounds(
         first_start = jnp.where(found, first_start, 0)
         first_end = jnp.where(found, first_end, 0)
 
+    return _bounds_from_selection(r_s, first_start, first_end, found, buffer)
+
+
+def _bounds_from_selection(r_s, first_start, first_end, found, buffer):
     r_inner = jnp.maximum(r_s[first_start] - buffer, 0.0)
     r_outer = r_s[first_end] + buffer
     bounds = jnp.stack(

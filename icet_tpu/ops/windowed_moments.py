@@ -199,3 +199,100 @@ def windowed_moment_sums(
         [sums10, jnp.zeros((v1, _N_FEATURES - 10), jnp.float32)], axis=-1
     )
     return sums, overflow
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def windowed_vid_counts(
+    vid: jax.Array,
+    valid: jax.Array,
+    cfg: ICETConfig,
+    block: int = 256,
+    phi_rows: int = 2,
+    theta_cols: int = 48,
+    slot: int = 16,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact per-voxel-id point counts via the scan-order window trick:
+    ((V+1,) int32 counts, overflow).
+
+    Takes the SAME precomputed (vid, valid) arrays the clustering sort will
+    consume — recomputing vid here would let jit-fusion rounding flip
+    points that sit exactly on bin boundaries (regular raycast rasters do)
+    and silently desynchronize the counts from the sort's segments.
+    counts[v] = #{p : vid == v and valid} for v < V, remainder at the
+    sentinel row — exactly the sort's segment sizes, so
+    ``radial_cluster_bounds(..., counts=...)`` reads per-voxel answers at
+    cumsum(counts)-1 rows instead of carrying probe rows through an
+    extraction sort.  Correct ONLY when overflow == 0 (gate with lax.cond,
+    like the moment sums)."""
+    n = vid.shape[0]
+    n_theta, n_phi = cfg.n_theta, cfg.n_phi
+    nt_pad = -(-n_theta // slot) * slot
+    tcols = min(theta_cols, nt_pad)
+    rows = min(phi_rows, n_phi)
+    window = rows * tcols
+    tslots = tcols // slot
+    nts = nt_pad // slot
+    pad_n = (-n) % block
+    ok = valid & (vid < cfg.n_voxels)
+    vid = jnp.where(ok, vid, 0)  # padded/out rows: any in-grid id is fine
+    if pad_n:
+        vid = jnp.concatenate([vid, jnp.zeros((pad_n,), vid.dtype)])
+        ok = jnp.concatenate([ok, jnp.zeros((pad_n,), bool)])
+    nb = vid.shape[0] // block
+
+    okb = ok.reshape(nb, block)
+    ip = (vid // n_theta).reshape(nb, block)
+    it = (vid % n_theta).reshape(nb, block)
+
+    cand_t = jnp.arange(nts, dtype=jnp.int32) * slot
+    cov_t = jnp.sum(
+        (okb[None] & (((it[None] - cand_t[:, None, None]) % nt_pad) < tcols)),
+        axis=2,
+        dtype=jnp.int32,
+    )
+    t0 = cand_t[jnp.argmax(cov_t, axis=0)]
+
+    big = jnp.int32(2**30)
+    pmin = jnp.min(jnp.where(okb, ip, big), axis=1)
+    pmin = jnp.where(pmin == big, 0, pmin)
+    p_hi = jnp.minimum(pmin + 1, max(n_phi - rows, 0))
+    pmin = jnp.minimum(pmin, max(n_phi - rows, 0))
+
+    def _cov_p(p0):
+        return jnp.sum(
+            okb & (ip >= p0[:, None]) & (ip < p0[:, None] + rows),
+            axis=1,
+            dtype=jnp.int32,
+        )
+
+    p0 = jnp.where(_cov_p(p_hi) > _cov_p(pmin), p_hi, pmin)
+
+    j = ip - p0[:, None]
+    k = (it - t0[:, None]) % nt_pad
+    in_win = okb & (j >= 0) & (j < rows) & (k < tcols)
+    local = j * tcols + k
+    overflow = jnp.sum((okb & ~in_win).astype(jnp.int32))
+
+    cols = jnp.arange(window, dtype=jnp.int32)
+    onehot = (
+        jnp.where(in_win, local, window)[:, :, None] == cols[None, None, :]
+    ).astype(jnp.float32)
+    partial = jnp.einsum(
+        "bpw,bp->bw", onehot, in_win.astype(jnp.float32), precision=_HI
+    )  # (nb, window); exact integers (f32 is exact to 2^24)
+
+    row_ids = p0[:, None, None] + jnp.arange(rows, dtype=jnp.int32)[None, :, None]
+    col_ids = (
+        t0[:, None, None] // slot
+        + jnp.arange(tslots, dtype=jnp.int32)[None, None, :]
+    ) % nts
+    sub_ids = (row_ids * nts + col_ids).reshape(nb, rows * tslots)
+    pr = partial.reshape(nb * rows * tslots, slot)
+    cnt_slots = jax.ops.segment_sum(
+        pr, sub_ids.reshape(-1), num_segments=n_phi * nts
+    )
+    cnt_grid = cnt_slots.reshape(n_phi, nt_pad)[:, :n_theta]
+    counts = cnt_grid.reshape(n_phi * n_theta).astype(jnp.int32)
+    # Sentinel row: everything else (invalid, padded, out-of-grid points).
+    sentinel = jnp.int32(n) - jnp.sum(counts)
+    return jnp.concatenate([counts, sentinel[None]]), overflow

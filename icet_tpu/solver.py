@@ -168,15 +168,36 @@ def prepare_reference(
     else:
         rtp_full = cart_to_spherical(scan1)
         r_full = rtp_full[..., 0]
-        clusters = radial_cluster_bounds(
-            voxel_ids(rtp_full, cfg),
-            r_full,
-            r_full >= cfg.min_range,
-            cfg.n_voxels,
-            cfg.min_pts,
-            cfg.cluster_gap,
-            cfg.cluster_buffer,
-        )
+        vid_full = voxel_ids(rtp_full, cfg)
+        valid_full = r_full >= cfg.min_range
+
+        def _cluster(counts):
+            return radial_cluster_bounds(
+                vid_full,
+                r_full,
+                valid_full,
+                cfg.n_voxels,
+                cfg.min_pts,
+                cfg.cluster_gap,
+                cfg.cluster_buffer,
+                counts=counts,
+            )
+
+        if _moment_method(cfg) == "fused":
+            # Beam-major scans: exact per-voxel counts from the windowed
+            # one-hot (~15 us) replace the probe rows + extraction sort in
+            # the clustering readback (~100 us); overflow falls back to the
+            # order-independent probe path, bit-identically.
+            from icet_tpu.ops.windowed_moments import windowed_vid_counts
+
+            counts, ovf = windowed_vid_counts(vid_full, valid_full, cfg)
+            clusters = jax.lax.cond(
+                ovf == 0,
+                lambda: _cluster(counts),
+                lambda: _cluster(None),
+            )
+        else:
+            clusters = _cluster(None)
     anchors = voxel_anchors(clusters.bounds, cfg)
 
     method = _moment_method(cfg)

@@ -121,3 +121,48 @@ def test_membership():
                    jnp.asarray(bounds), V)
     )
     np.testing.assert_array_equal(m, [False, True, True, False, False])
+
+
+def test_counts_hinted_path_bit_identical():
+    """The counts-hinted readback (windowed_vid_counts feeding
+    radial_cluster_bounds) must match the probe-row path bit-for-bit on
+    beam-major scans, and the counts themselves must be exact."""
+    import jax.numpy as jnp
+
+    from icet_tpu import ICETConfig
+    from icet_tpu.datasets.synthetic import simulate_scan
+    from icet_tpu.ops.clustering import radial_cluster_bounds
+    from icet_tpu.ops.geometry import cart_to_spherical
+    from icet_tpu.ops.grid import voxel_ids
+    from icet_tpu.ops.windowed_moments import windowed_vid_counts
+
+    cfg = ICETConfig(n_theta=48, n_phi=16, min_pts=10, min_range=1.0)
+    scan = jnp.asarray(
+        np.asarray(simulate_scan(n_beams=32, n_azimuth=512, seed=5), np.float32)
+    )
+    rtp = cart_to_spherical(scan)
+    r = rtp[..., 0]
+    vid = voxel_ids(rtp, cfg)
+    valid = r >= cfg.min_range
+    counts, ovf = windowed_vid_counts(vid, valid, cfg)
+    assert int(ovf) == 0
+    ref_counts = np.bincount(
+        np.where(np.asarray(valid), np.asarray(vid), cfg.n_voxels),
+        minlength=cfg.n_voxels + 1,
+    )
+    np.testing.assert_array_equal(np.asarray(counts), ref_counts)
+
+    probe = radial_cluster_bounds(
+        vid, r, valid, cfg.n_voxels, cfg.min_pts, cfg.cluster_gap,
+        cfg.cluster_buffer,
+    )
+    hinted = radial_cluster_bounds(
+        vid, r, valid, cfg.n_voxels, cfg.min_pts, cfg.cluster_gap,
+        cfg.cluster_buffer, counts=counts,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(probe.bounds), np.asarray(hinted.bounds)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(probe.found), np.asarray(hinted.found)
+    )
