@@ -95,10 +95,19 @@ class OdometryPipeline:
         """
         scan = np.asarray(scan, np.float32)
         try:
-            return self._step_device(scan)
+            frame = self._step_device(scan)
         except Exception:
             self._recover()
-            return self._step_device(scan)
+            frame = self._step_device(scan)
+        # Recovery mirrors update only AFTER the frame fully completed (all
+        # host transfers included) — updating them inside _step_device would
+        # let a failure during the result transfers refit the reference
+        # model from the scan being retried (registering it against itself).
+        self._last_scan = scan
+        if frame is not None:
+            self._X_host = frame.X
+            self._T_host = frame.T_world
+        return frame
 
     def _recover(self) -> None:
         from icet_tpu.parallel.elastic import probe_devices
@@ -124,7 +133,6 @@ class OdometryPipeline:
         if self._model is None:
             self._model = prepare_reference_jit(scan_dev, self.cfg)
             self._index += 1
-            self._last_scan = scan
             return None
 
         x0 = (
@@ -147,9 +155,6 @@ class OdometryPipeline:
         self._X_prev = X
         # Next frame registers against this scan's (already fitted) model.
         self._model = next_model
-        self._last_scan = scan
-        self._X_host = np.asarray(X)
-        self._T_host = np.asarray(self._T_world)
 
         frame = OdometryFrame(
             index=self._index,

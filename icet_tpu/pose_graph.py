@@ -534,8 +534,6 @@ def close_loops(
     all candidates of a chunk solved in a single device dispatch (the serial
     per-pair loop spent its wall clock on dispatch latency: ~0.5 s/pair on
     the tunnel vs ~4 ms of device time)."""
-    import functools
-
     from icet_tpu.solver import register_pair_impl
 
     if not candidates:

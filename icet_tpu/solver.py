@@ -510,6 +510,11 @@ def register(
         # the true final step norm, not a misleading zero.
         n_it = cfg.n_iters
         tol = cfg.convergence_tol
+        # Moving-object rejection only activates at it >= rm_start_iter;
+        # exiting earlier would silently skip it on exactly the easy
+        # (fast-converging) frames where a moving vehicle biases the lock.
+        # Force at least one post-activation iteration when it's enabled.
+        min_it = min(cfg.rm_start_iter + 1, n_it) if cfg.remove_moving else 1
 
         diag_buf = jax.tree_util.tree_map(
             lambda v: jnp.zeros((n_it,) + v.shape, v.dtype).at[0].set(v),
@@ -518,7 +523,7 @@ def register(
 
         def w_cond(carry):
             it, _, _, dx_prev = carry
-            return (it < n_it) & (dx_prev >= tol)
+            return (it < n_it) & ((dx_prev >= tol) | (it < min_it))
 
         def w_body(carry):
             it, (X, _, _, _, U2_warm), diags, _ = carry

@@ -173,3 +173,77 @@ class TestReferenceGolden:
         )
         assert (stds / golden_stds < 3.0).all()
         assert (stds / golden_stds > 1 / 3.0).all()
+
+
+class TestConvergenceEarlyExit:
+    """The lax.while_loop early-exit path (convergence_tol > 0) — the
+    default odometry profile and the headline benchmark configuration."""
+
+    def test_matches_fixed_runlen(self):
+        X_true = np.array([0.25, 0.1, 0.02, 0.01, -0.005, 0.02], np.float32)
+        scan1, scan2 = scan_pair_with_ground_truth(X_true, seed=4)
+        fixed = register_pair(
+            jnp.asarray(scan1), jnp.asarray(scan2), jnp.zeros(6), SYN_CFG
+        )
+        early = register_pair(
+            jnp.asarray(scan1), jnp.asarray(scan2), jnp.zeros(6),
+            SYN_CFG.replace(convergence_tol=1e-4),
+        )
+        np.testing.assert_allclose(
+            np.asarray(early.X), np.asarray(fixed.X), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(early.pred_stds), np.asarray(fixed.pred_stds),
+            rtol=0.05, atol=1e-5,
+        )
+        assert np.isfinite(np.asarray(early.Q)).all()
+
+    def test_converged_branch_diagnostics(self):
+        """Warm-started at the solution the loop must actually exit early,
+        and skipped diagnostic slots must repeat the LAST EXECUTED values
+        (dx_norm[-1] is close_loops' convergence gate — zeros would fake
+        convergence)."""
+        X_true = np.array([0.2, 0.05, 0.0, 0.0, 0.0, 0.01], np.float32)
+        scan1, scan2 = scan_pair_with_ground_truth(X_true, seed=5)
+        cfg = SYN_CFG.replace(convergence_tol=1e-4)
+        res = register_pair(
+            jnp.asarray(scan1), jnp.asarray(scan2), jnp.asarray(X_true), cfg
+        )
+        dx = np.asarray(res.diagnostics.dx_norm)
+        n_exec = 1 + int(np.sum(dx[1:] != dx[:-1]))
+        assert n_exec < cfg.n_iters, dx  # it really exited early
+        # Tail repeats the final executed value.
+        assert dx[-1] == dx[n_exec - 1]
+        assert np.all(np.asarray(res.diagnostics.n_corr) > 0)
+        # Same solution as the full fixed-runlen solve from the same start
+        # (truth-accuracy itself is fixture-limited on this coarse grid).
+        full = register_pair(
+            jnp.asarray(scan1), jnp.asarray(scan2), jnp.asarray(X_true),
+            SYN_CFG,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.X), np.asarray(full.X), atol=2e-4
+        )
+
+    def test_early_exit_cannot_skip_moving_object_rejection(self):
+        """A converged warm start must not exit before rm_start_iter when
+        remove_moving is on — the rejection would silently never run."""
+        X_true = np.zeros(6)
+        scan1, scan2 = scan_pair_with_ground_truth(X_true, seed=3)
+        blob_center = np.array([12.0, 3.0, -1.0], np.float32)
+        rng = np.random.default_rng(0)
+        blob = (blob_center + rng.normal(size=(800, 3)) * 0.3).astype(np.float32)
+        scan1 = np.concatenate([scan1, blob])
+        scan2 = np.concatenate(
+            [scan2, blob + np.array([1.0, 0.0, 0.0], np.float32)]
+        )
+        cfg = SYN_CFG.replace(
+            remove_moving=True, rm_start_iter=3, convergence_tol=1e-4
+        )
+        # Warm start AT the solution: without the rm_start_iter floor the
+        # loop would exit after one iteration and never reject anything.
+        res = register_pair(
+            jnp.asarray(scan1), jnp.asarray(scan2), jnp.zeros(6), cfg
+        )
+        rejected = np.asarray(res.diagnostics.n_rejected_moving)
+        assert rejected[-1] >= 1, rejected
