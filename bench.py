@@ -163,7 +163,11 @@ def main() -> None:
     # prepare paid once per keyframe, register + block-map insert per frame,
     # spawn decision + conditional keyframe fit all inside one program) ---
     from icet_tpu.config import BlockMapConfig, KeyframeConfig
-    from icet_tpu.keyframe import keyframe_spawn_jit, keyframe_step_jit
+    from icet_tpu.keyframe import (
+        blockmap_init,
+        keyframe_spawn_jit,
+        keyframe_step_jit,
+    )
     from icet_tpu.ops.geometry import compose_states
 
     # delta_clamp must admit the drive's 1 m/frame motion (the reference's
@@ -176,8 +180,6 @@ def main() -> None:
     def make_kf(chain):
         @jax.jit
         def g(frames, x):
-            from icet_tpu.keyframe import blockmap_init
-
             scan0 = frames[0]
             bm0 = blockmap_init(bm_cfg)
             model0, bm0 = keyframe_spawn_jit(

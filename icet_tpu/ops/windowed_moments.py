@@ -72,6 +72,96 @@ _HI = jax.lax.Precision.HIGHEST
 _N_FEATURES = 16
 
 
+class _WindowLayout:
+    """Per-block window geometry shared by the moment and count kernels:
+    anchors (t0, p0) picked by point coverage, per-point window columns,
+    the overflow count, and the slot ids each window covers in the padded
+    (n_phi, nt_pad) grid."""
+
+    __slots__ = (
+        "nb", "window", "tslots", "nts", "nt_pad", "tcols", "rows",
+        "okb", "in_win", "local", "overflow", "sub_ids",
+    )
+
+    def __init__(self, ok, vid, cfg, block, phi_rows, theta_cols, slot):
+        n_theta, n_phi = cfg.n_theta, cfg.n_phi
+        nt_pad = -(-n_theta // slot) * slot
+        self.nt_pad = nt_pad
+        self.tcols = tcols = min(theta_cols, nt_pad)
+        self.rows = rows = min(phi_rows, n_phi)
+        self.window = rows * tcols
+        self.tslots = tslots = tcols // slot
+        self.nts = nts = nt_pad // slot
+        nb = ok.shape[0] // block
+        self.nb = nb
+
+        okb = ok.reshape(nb, block)
+        ip = (vid // n_theta).reshape(nb, block)
+        it = (vid % n_theta).reshape(nb, block)
+        self.okb = okb
+
+        # Theta anchor: slot-aligned modular start with max point coverage.
+        cand_t = jnp.arange(nts, dtype=jnp.int32) * slot  # (nts,)
+        cov_t = jnp.sum(
+            (okb[None]
+             & (((it[None] - cand_t[:, None, None]) % nt_pad) < tcols)),
+            axis=2,
+            dtype=jnp.int32,
+        )  # (nts, nb)
+        t0 = cand_t[jnp.argmax(cov_t, axis=0)]  # (nb,)
+
+        # Phi anchor: best of {pmin, pmin+1} by coverage (a single
+        # low-jittered point must not drag the rows off the bulk).
+        big = jnp.int32(2**30)
+        pmin = jnp.min(jnp.where(okb, ip, big), axis=1)
+        pmin = jnp.where(pmin == big, 0, pmin)
+        p_hi = jnp.minimum(pmin + 1, max(n_phi - rows, 0))
+        pmin = jnp.minimum(pmin, max(n_phi - rows, 0))
+
+        def _cov_p(p0):
+            return jnp.sum(
+                okb & (ip >= p0[:, None]) & (ip < p0[:, None] + rows),
+                axis=1,
+                dtype=jnp.int32,
+            )
+
+        p0 = jnp.where(_cov_p(p_hi) > _cov_p(pmin), p_hi, pmin)  # (nb,)
+
+        j = ip - p0[:, None]
+        k = (it - t0[:, None]) % nt_pad
+        self.in_win = okb & (j >= 0) & (j < rows) & (k < tcols)
+        self.local = j * tcols + k  # window column when in_win
+        self.overflow = jnp.sum((okb & ~self.in_win).astype(jnp.int32))
+
+        # Window slot ids in the padded grid: rows x modular theta slots.
+        row_ids = (
+            p0[:, None, None]
+            + jnp.arange(rows, dtype=jnp.int32)[None, :, None]
+        )
+        col_ids = (
+            t0[:, None, None] // slot
+            + jnp.arange(tslots, dtype=jnp.int32)[None, None, :]
+        ) % nts
+        self.sub_ids = (row_ids * nts + col_ids).reshape(nb, rows * tslots)
+
+    def onehot(self):
+        cols = jnp.arange(self.window, dtype=jnp.int32)
+        return (
+            jnp.where(self.in_win, self.local, self.window)[:, :, None]
+            == cols[None, None, :]
+        ).astype(jnp.float32)  # (nb, block, window)
+
+    def merge_slots(self, partial, n_phi, n_theta, slot, nfeat):
+        """Slot-aligned merge of (nb, window, nfeat) partials into the
+        (n_phi * n_theta, nfeat) grid (theta padding stripped)."""
+        pr = partial.reshape(self.nb * self.rows * self.tslots, slot * nfeat)
+        slots = jax.ops.segment_sum(
+            pr, self.sub_ids.reshape(-1), num_segments=n_phi * self.nts
+        )
+        grid = slots.reshape(n_phi, self.nt_pad, nfeat)[:, :n_theta]
+        return grid.reshape(n_phi * n_theta, nfeat)
+
+
 @functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
 def windowed_moment_sums(
     pts: jax.Array,
@@ -89,12 +179,6 @@ def windowed_moment_sums(
     n = pts.shape[0]
     n_theta, n_phi = cfg.n_theta, cfg.n_phi
     v1 = cfg.n_voxels + 1
-    nt_pad = -(-n_theta // slot) * slot
-    tcols = min(theta_cols, nt_pad)
-    rows = min(phi_rows, n_phi)
-    window = rows * tcols
-    tslots = tcols // slot
-    nts = nt_pad // slot
     pad_n = (-n) % block
     if pad_n:
         pts = jnp.concatenate([pts, jnp.zeros((pad_n, 3), pts.dtype)])
@@ -111,59 +195,20 @@ def windowed_moment_sums(
     vid = voxel_ids(rtp, cfg)
     ok = raw_ok & (vid < cfg.n_voxels)
 
-    okb = ok.reshape(nb, block)
-    ip = (vid // n_theta).reshape(nb, block)
-    it = (vid % n_theta).reshape(nb, block)
-
-    # Theta anchor: the slot-aligned modular start with max point coverage.
-    cand_t = jnp.arange(nts, dtype=jnp.int32) * slot  # (nts,)
-    cov_t = jnp.sum(
-        (okb[None] & (((it[None] - cand_t[:, None, None]) % nt_pad) < tcols)),
-        axis=2,
-        dtype=jnp.int32,
-    )  # (nts, nb)
-    t0 = cand_t[jnp.argmax(cov_t, axis=0)]  # (nb,)
-
-    # Phi anchor: best of {pmin, pmin+1} by coverage (a single low-jittered
-    # point must not drag the rows off the bulk).
-    big = jnp.int32(2**30)
-    pmin = jnp.min(jnp.where(okb, ip, big), axis=1)
-    pmin = jnp.where(pmin == big, 0, pmin)
-    p_hi = jnp.minimum(pmin + 1, max(n_phi - rows, 0))
-    pmin = jnp.minimum(pmin, max(n_phi - rows, 0))
-
-    def _cov_p(p0):
-        return jnp.sum(
-            okb & (ip >= p0[:, None]) & (ip < p0[:, None] + rows),
-            axis=1,
-            dtype=jnp.int32,
-        )
-
-    p0 = jnp.where(_cov_p(p_hi) > _cov_p(pmin), p_hi, pmin)  # (nb,)
-
-    j = ip - p0[:, None]
-    k = (it - t0[:, None]) % nt_pad
-    in_win = okb & (j >= 0) & (j < rows) & (k < tcols)
-    local = j * tcols + k  # window column when in_win
-    overflow = jnp.sum((okb & ~in_win).astype(jnp.int32))
+    lay = _WindowLayout(ok, vid, cfg, block, phi_rows, theta_cols, slot)
+    in_win, window, nts = lay.in_win, lay.window, lay.nts
+    overflow = lay.overflow
 
     # Merged bounds+anchors table, theta-padded so windows are whole slots.
     table = jnp.concatenate([bounds, anchors], axis=-1)  # (V+1, 5)
     table_grid = table[: n_phi * n_theta].reshape(n_phi, n_theta, 5)
-    table_grid = jnp.pad(table_grid, ((0, 0), (0, nt_pad - n_theta), (0, 0)))
+    table_grid = jnp.pad(
+        table_grid, ((0, 0), (0, lay.nt_pad - n_theta), (0, 0))
+    )
     slots_t = table_grid.reshape(n_phi * nts, slot, 5)
-    # Window slot ids in the padded grid: rows x modular theta slots.
-    row_ids = p0[:, None, None] + jnp.arange(rows, dtype=jnp.int32)[None, :, None]
-    col_ids = (
-        t0[:, None, None] // slot + jnp.arange(tslots, dtype=jnp.int32)[None, None, :]
-    ) % nts
-    sub_ids = (row_ids * nts + col_ids).reshape(nb, rows * tslots)
-    table_win = slots_t[sub_ids].reshape(nb, window, 5)
+    table_win = slots_t[lay.sub_ids].reshape(nb, window, 5)
 
-    cols = jnp.arange(window, dtype=jnp.int32)
-    onehot = (
-        jnp.where(in_win, local, window)[:, :, None] == cols[None, None, :]
-    ).astype(jnp.float32)  # (nb, block, window)
+    onehot = lay.onehot()  # (nb, block, window)
 
     # Per-point bounds + anchor via the one-hot (exact: one nonzero per row).
     t_pt = jnp.einsum("bpw,bwf->bpf", onehot, table_win, precision=_HI)
@@ -186,13 +231,9 @@ def windowed_moment_sums(
     partial = jnp.einsum("bpw,bpf->bwf", onehot, feats, precision=_HI)
 
     # Slot-aligned merge over the padded grid, then strip the theta padding.
-    pr = partial.reshape(nb * rows * tslots, slot * 10)
-    sums_slots = jax.ops.segment_sum(
-        pr, sub_ids.reshape(-1), num_segments=n_phi * nts
-    )
-    sums_grid = sums_slots.reshape(n_phi, nt_pad, 10)[:, :n_theta]
     sums10 = jnp.concatenate(
-        [sums_grid.reshape(n_phi * n_theta, 10), jnp.zeros((1, 10), jnp.float32)],
+        [lay.merge_slots(partial, n_phi, n_theta, slot, 10),
+         jnp.zeros((1, 10), jnp.float32)],
         axis=0,
     )
     sums = jnp.concatenate(
@@ -226,73 +267,21 @@ def windowed_vid_counts(
     like the moment sums)."""
     n = vid.shape[0]
     n_theta, n_phi = cfg.n_theta, cfg.n_phi
-    nt_pad = -(-n_theta // slot) * slot
-    tcols = min(theta_cols, nt_pad)
-    rows = min(phi_rows, n_phi)
-    window = rows * tcols
-    tslots = tcols // slot
-    nts = nt_pad // slot
     pad_n = (-n) % block
     ok = valid & (vid < cfg.n_voxels)
     vid = jnp.where(ok, vid, 0)  # padded/out rows: any in-grid id is fine
     if pad_n:
         vid = jnp.concatenate([vid, jnp.zeros((pad_n,), vid.dtype)])
         ok = jnp.concatenate([ok, jnp.zeros((pad_n,), bool)])
-    nb = vid.shape[0] // block
 
-    okb = ok.reshape(nb, block)
-    ip = (vid // n_theta).reshape(nb, block)
-    it = (vid % n_theta).reshape(nb, block)
-
-    cand_t = jnp.arange(nts, dtype=jnp.int32) * slot
-    cov_t = jnp.sum(
-        (okb[None] & (((it[None] - cand_t[:, None, None]) % nt_pad) < tcols)),
-        axis=2,
-        dtype=jnp.int32,
-    )
-    t0 = cand_t[jnp.argmax(cov_t, axis=0)]
-
-    big = jnp.int32(2**30)
-    pmin = jnp.min(jnp.where(okb, ip, big), axis=1)
-    pmin = jnp.where(pmin == big, 0, pmin)
-    p_hi = jnp.minimum(pmin + 1, max(n_phi - rows, 0))
-    pmin = jnp.minimum(pmin, max(n_phi - rows, 0))
-
-    def _cov_p(p0):
-        return jnp.sum(
-            okb & (ip >= p0[:, None]) & (ip < p0[:, None] + rows),
-            axis=1,
-            dtype=jnp.int32,
-        )
-
-    p0 = jnp.where(_cov_p(p_hi) > _cov_p(pmin), p_hi, pmin)
-
-    j = ip - p0[:, None]
-    k = (it - t0[:, None]) % nt_pad
-    in_win = okb & (j >= 0) & (j < rows) & (k < tcols)
-    local = j * tcols + k
-    overflow = jnp.sum((okb & ~in_win).astype(jnp.int32))
-
-    cols = jnp.arange(window, dtype=jnp.int32)
-    onehot = (
-        jnp.where(in_win, local, window)[:, :, None] == cols[None, None, :]
-    ).astype(jnp.float32)
+    lay = _WindowLayout(ok, vid, cfg, block, phi_rows, theta_cols, slot)
     partial = jnp.einsum(
-        "bpw,bp->bw", onehot, in_win.astype(jnp.float32), precision=_HI
+        "bpw,bp->bw", lay.onehot(), lay.in_win.astype(jnp.float32),
+        precision=_HI,
     )  # (nb, window); exact integers (f32 is exact to 2^24)
-
-    row_ids = p0[:, None, None] + jnp.arange(rows, dtype=jnp.int32)[None, :, None]
-    col_ids = (
-        t0[:, None, None] // slot
-        + jnp.arange(tslots, dtype=jnp.int32)[None, None, :]
-    ) % nts
-    sub_ids = (row_ids * nts + col_ids).reshape(nb, rows * tslots)
-    pr = partial.reshape(nb * rows * tslots, slot)
-    cnt_slots = jax.ops.segment_sum(
-        pr, sub_ids.reshape(-1), num_segments=n_phi * nts
-    )
-    cnt_grid = cnt_slots.reshape(n_phi, nt_pad)[:, :n_theta]
-    counts = cnt_grid.reshape(n_phi * n_theta).astype(jnp.int32)
+    counts = lay.merge_slots(
+        partial[..., None], n_phi, n_theta, slot, 1
+    )[:, 0].astype(jnp.int32)
     # Sentinel row: everything else (invalid, padded, out-of-grid points).
     sentinel = jnp.int32(n) - jnp.sum(counts)
-    return jnp.concatenate([counts, sentinel[None]]), overflow
+    return jnp.concatenate([counts, sentinel[None]]), lay.overflow

@@ -319,7 +319,12 @@ def _moment_method(cfg: ICETConfig) -> str:
 def _covariance_yaw(cov: jax.Array) -> jax.Array:
     """Reference moving-object heuristic: treat the covariance's first row as
     a direction and take its yaw, ``atan2(-cov[0,1], cov[0,0])``
-    (ICET_spherical.py:254-272 via utils.R2Euler's psi component)."""
+    (ICET_spherical.py:254-272 via utils.R2Euler's psi component).
+
+    Accepts (V, 3, 3) matrices or (V, 6) packed [xx, yy, zz, xy, xz, yz]
+    planes (moments.finalize_moments_planes)."""
+    if cov.ndim == 2:
+        return jnp.arctan2(-cov[:, 3], cov[:, 0])
     return jnp.arctan2(-cov[..., 0, 1], cov[..., 0, 0])
 
 
@@ -388,12 +393,9 @@ def _iteration(
         bad_res = jnp.any(
             jnp.abs(res_compact) > cfg.rm_residual_thresh, axis=-1
         )
-        yaw2 = (
-            jnp.arctan2(-cov2[:, 3], cov2[:, 0])
-            if cov2.ndim == 2
-            else _covariance_yaw(cov2)
+        yaw_delta = jnp.abs(
+            _covariance_yaw(model.cov) - _covariance_yaw(cov2)
         )
-        yaw_delta = jnp.abs(_covariance_yaw(model.cov) - yaw2)
         bad_yaw = yaw_delta > cfg.rm_yaw_thresh
         active = it >= cfg.rm_start_iter
         bad = corr & (bad_res | bad_yaw) & active
