@@ -584,10 +584,13 @@ def register_pair_impl(
     x0: jax.Array,
     cfg: ICETConfig,
     axis_name: str | None = None,
+    want_static_mask: bool = True,
 ) -> RegistrationResult:
     """Un-jitted end-to-end registration (composable under shard_map/vmap)."""
     model = prepare_reference(scan1, cfg, axis_name)
-    return register(model, scan2, x0, cfg, axis_name)
+    return register(
+        model, scan2, x0, cfg, axis_name, want_static_mask=want_static_mask
+    )
 
 
 @functools.partial(jax.jit, static_argnums=(3,))

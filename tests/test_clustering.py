@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from icet_tpu.ops.clustering import membership, radial_cluster_bounds
@@ -123,7 +124,8 @@ def test_membership():
     np.testing.assert_array_equal(m, [False, True, True, False, False])
 
 
-def test_counts_hinted_path_bit_identical():
+@pytest.mark.parametrize("grid", [(48, 16), (75, 24)])
+def test_counts_hinted_path_bit_identical(grid):
     """The counts-hinted readback (windowed_vid_counts feeding
     radial_cluster_bounds) must match the probe-row path bit-for-bit on
     beam-major scans, and the counts themselves must be exact."""
@@ -136,7 +138,8 @@ def test_counts_hinted_path_bit_identical():
     from icet_tpu.ops.grid import voxel_ids
     from icet_tpu.ops.windowed_moments import windowed_vid_counts
 
-    cfg = ICETConfig(n_theta=48, n_phi=16, min_pts=10, min_range=1.0)
+    cfg = ICETConfig(n_theta=grid[0], n_phi=grid[1], min_pts=10,
+                     min_range=1.0)
     scan = jnp.asarray(
         np.asarray(simulate_scan(n_beams=32, n_azimuth=512, seed=5), np.float32)
     )

@@ -301,3 +301,33 @@ def test_robust_kernel_resists_outlier_loop(rng):
         optimize_poses_sparse(states0, graph, 10, 60, robust_delta=3.5)
     )
     np.testing.assert_allclose(huber_clean, clean, atol=5e-2)
+
+
+def test_sparse_sharded_matches_single_device(rng):
+    """Factor-sharded block-sparse PCG over an 8-device mesh must agree with
+    the single-device sparse path (same math, psum-assembled normals)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from icet_tpu.pose_graph import (
+        optimize_poses_sparse,
+        optimize_poses_sparse_sharded,
+    )
+
+    s_true = _make_circle(K=24)
+    graph = _noisy_graph(s_true, rng, loops=[(0, 23), (3, 20), (6, 17)])
+    states0 = jnp.asarray(_integrate(graph, 24))
+
+    single = np.asarray(optimize_poses_sparse(states0, graph, 8, 40))
+    mesh = Mesh(np.array(jax.devices()[:8]), ("f",))
+    sharded = np.asarray(
+        optimize_poses_sparse_sharded(states0, graph, mesh, 8, 40)
+    )
+    np.testing.assert_allclose(sharded, single, atol=2e-3)
+    # Robust kernel composes with sharding too.
+    sharded_r = np.asarray(
+        optimize_poses_sparse_sharded(
+            states0, graph, mesh, 8, 40, robust_delta=3.5
+        )
+    )
+    assert np.isfinite(sharded_r).all()
