@@ -70,13 +70,41 @@ def _noisy_graph(states_true, rng, t_noise=0.05, a_noise=0.005, loops=()):
 
 
 def _integrate(graph, K):
-    """Chain the odometry factors to get the unoptimized initial guess."""
+    """Chain the odometry factors to get the unoptimized initial guess.
+
+    Host-side numpy composition (np_pose_matrix twins): a per-step jnp
+    round-trip costs ~10k tiny dispatches at K=10k and dominated the whole
+    suite's wall clock."""
+    from icet_tpu.keyframe import np_pose_matrix, np_pose_to_state
+
+    meas = np.asarray(graph.meas)
     T = np.eye(4)
     states = [np.zeros(6, np.float32)]
     for k in range(K - 1):
-        T = T @ np.asarray(pose_matrix(graph.meas[k]))
-        states.append(np.asarray(pose_to_state(jnp.asarray(T))))
+        T = T @ np_pose_matrix(meas[k])
+        states.append(np_pose_to_state(T))
     return np.stack(states).astype(np.float32)
+
+
+def _rel_states_batch(states_a, states_b):
+    """Vectorized _rel_state over stacked (N, 6) world-state pairs."""
+    def one(a, b):
+        Ti = pose_matrix(a)
+        Tj = pose_matrix(b)
+        Ri = Ti[:3, :3]
+        rel_top = jnp.concatenate(
+            [Ri.T @ Tj[:3, :3], (Ri.T @ (Tj[:3, 3] - Ti[:3, 3]))[:, None]],
+            axis=1,
+        )
+        rel = jnp.concatenate(
+            [rel_top, jnp.array([[0.0, 0.0, 0.0, 1.0]])], axis=0
+        )
+        return pose_to_state(rel)
+
+    return np.array(  # np.array: writable copy (np.asarray of a jax array
+        # is read-only, and callers add noise in place)
+        jax.jit(jax.vmap(one))(jnp.asarray(states_a), jnp.asarray(states_b))
+    )
 
 
 def test_loop_closure_reduces_error(rng):
@@ -150,29 +178,35 @@ def test_sparse_scales_to_10k_poses(rng):
     ).astype(np.float32)
 
     rng_l = np.random.default_rng(3)
-    idx_i = list(range(K - 1))
-    idx_j = list(range(1, K))
-    meas = []
-    info = []
     t_noise, a_noise = 0.02, 0.002
-    for k in range(K - 1):
-        m = np.array(_rel_state(s_true[k], s_true[k + 1]))
-        m[:3] += rng_l.normal(0, t_noise, 3)
-        m[3:] += rng_l.normal(0, a_noise, 3)
-        meas.append(m)
-        info.append(np.diag([1 / t_noise**2] * 3 + [1 / a_noise**2] * 3))
+    # Consecutive factors, built vectorized (a 10k-iteration python loop of
+    # tiny jnp ops took minutes and dominated the suite).
+    meas_odo = _rel_states_batch(s_true[:-1], s_true[1:])
+    meas_odo[:, :3] += rng_l.normal(0, t_noise, (K - 1, 3))
+    meas_odo[:, 3:] += rng_l.normal(0, a_noise, (K - 1, 3))
+    info_odo = np.broadcast_to(
+        np.diag([1 / t_noise**2] * 3 + [1 / a_noise**2] * 3),
+        (K - 1, 6, 6),
+    )
     # Loop factors between consecutive laps (1000 poses/lap, every 100).
-    for k in range(0, K - 1000, 100):
-        i, j = k, k + 1000
-        meas.append(_rel_state(s_true[i], s_true[j]))
-        idx_i.append(i)
-        idx_j.append(j)
-        info.append(np.diag([1e4] * 3 + [1e6] * 3))
+    li = np.arange(0, K - 1000, 100)
+    meas_loop = _rel_states_batch(s_true[li], s_true[li + 1000])
+    info_loop = np.broadcast_to(
+        np.diag([1e4] * 3 + [1e6] * 3), (len(li), 6, 6)
+    )
     graph = PoseGraph(
-        idx_i=jnp.asarray(np.asarray(idx_i, np.int32)),
-        idx_j=jnp.asarray(np.asarray(idx_j, np.int32)),
-        meas=jnp.asarray(np.stack(meas).astype(np.float32)),
-        info=jnp.asarray(np.stack(info).astype(np.float32)),
+        idx_i=jnp.asarray(
+            np.concatenate([np.arange(K - 1), li]).astype(np.int32)
+        ),
+        idx_j=jnp.asarray(
+            np.concatenate([np.arange(1, K), li + 1000]).astype(np.int32)
+        ),
+        meas=jnp.asarray(
+            np.concatenate([meas_odo, meas_loop]).astype(np.float32)
+        ),
+        info=jnp.asarray(
+            np.concatenate([info_odo, info_loop]).astype(np.float32)
+        ),
     )
     states0 = jnp.asarray(_integrate(graph, K))
 
@@ -187,13 +221,10 @@ def test_sparse_scales_to_10k_poses(rng):
     elapsed = time.perf_counter() - start
     assert elapsed < 15.0, f"10k-pose solve took {elapsed:.1f}s"
 
-    # Truth relative to pose 0 (gauge).
-    T0 = np.asarray(pose_matrix(jnp.asarray(s_true[0])))
-    rel_true = np.stack([
-        np.asarray(pose_to_state(jnp.asarray(
-            np.linalg.inv(T0) @ np.asarray(pose_matrix(jnp.asarray(s)))
-        ))) for s in s_true
-    ])
+    # Truth relative to pose 0 (gauge), vectorized.
+    rel_true = _rel_states_batch(
+        np.broadcast_to(s_true[0], s_true.shape), s_true
+    )
     err0 = np.linalg.norm(np.asarray(states0)[:, :3] - rel_true[:, :3], axis=1)
     err1 = np.linalg.norm(opt[:, :3] - rel_true[:, :3], axis=1)
     assert err1.mean() < err0.mean() * 0.5, (err0.mean(), err1.mean())
