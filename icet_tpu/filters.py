@@ -22,8 +22,12 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from typing import TYPE_CHECKING
+
 from icet_tpu.config import ICETConfig
-from icet_tpu.models.bias_net import BiasNet, pack_voxel_samples
+
+if TYPE_CHECKING:  # runtime imports stay lazy: flax/optax only load when
+    from icet_tpu.models.bias_net import BiasNet  # the DNN path is used
 from icet_tpu.ops.clustering import membership
 from icet_tpu.ops.geometry import cart_to_spherical, transform_points
 from icet_tpu.ops.grid import voxel_ids
@@ -109,6 +113,8 @@ def dnn_reject_mask(
     # re-predict (reference ICET_spherical.py:324-336).
     shift = jnp.zeros_like(icet_shift)
     for _ in range(refine_steps):
+        from icet_tpu.models.bias_net import pack_voxel_samples
+
         inputs = pack_voxel_samples(s1 + shift[:, None, :], s2)
         shift = shift + bias_net.apply(params, inputs)
 
@@ -183,9 +189,20 @@ def register_pair_with_dnn(
     """
     # Total iterations stay within cfg.n_iters (the reference runs the DNN
     # filter inside the same runlen loop, ICET_spherical.py:288-290): clamp
-    # the pre-filter phase to n_iters - 1 so pre + post == n_iters.
+    # the pre-filter phase to n_iters - 1 so pre + post == n_iters.  With
+    # n_iters == 1 there is no budget for a filtered second phase at all —
+    # run ONE plain iteration, then apply the filter with a zero-iteration
+    # equivalent (n_post = 1 phase from the SAME warm X converges nowhere
+    # new; we instead report the filter mask alongside the 1-iteration
+    # solve by running the post phase as the single budgeted iteration).
+    if cfg.n_iters < 2:
+        model = prepare_reference(scan1, cfg)
+        pre = register(model, scan2, x0, cfg.replace(n_iters=1))
+        aligned = transform_points(scan2, pre.X)
+        filt = dnn_reject_mask(bias_net, params, model, scan1, aligned, cfg)
+        return pre, filt
     n_pre = max(min(cfg.dnn_start_iter, cfg.n_iters - 1), 1)
-    n_post = max(cfg.n_iters - n_pre, 1)
+    n_post = cfg.n_iters - n_pre
 
     model = prepare_reference(scan1, cfg)
     pre = register(model, scan2, x0, cfg.replace(n_iters=n_pre))

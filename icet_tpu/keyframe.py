@@ -140,6 +140,7 @@ def _blockmap_insert(
     key: jax.Array,
     bm_cfg: BlockMapConfig,
     min_range: float,
+    enabled=True,
 ) -> BlockMap:
     """Fold a range-gated random downsample of ``scan`` into the active block.
 
@@ -159,8 +160,11 @@ def _blockmap_insert(
     new_ok = ok[take]
 
     rows = bm.cursor + jnp.arange(bm_cfg.points_per_scan, dtype=jnp.int32)
-    # No active block yet (n_blocks == 0) -> drop everything.
-    writable = new_ok & (rows < P) & (bm.n_blocks > 0)
+    # No active block yet (n_blocks == 0) -> drop everything; ``enabled``
+    # False (a traced bool is fine) drops the whole insert — used by
+    # keyframe_step_jit on spawn frames, whose scan seeds the NEW block via
+    # keyframe_spawn_jit instead of being inserted twice.
+    writable = new_ok & (rows < P) & (bm.n_blocks > 0) & enabled
     rows_w = jnp.where(writable, rows, P)  # P is out of bounds -> dropped
     slot = jnp.maximum(bm.n_blocks - 1, 0) % B
     return BlockMap(
@@ -168,7 +172,10 @@ def _blockmap_insert(
         valid=bm.valid.at[slot, rows_w].set(True),
         poses=bm.poses,
         n_blocks=bm.n_blocks,
-        cursor=jnp.minimum(bm.cursor + bm_cfg.points_per_scan, P),
+        cursor=jnp.where(
+            enabled, jnp.minimum(bm.cursor + bm_cfg.points_per_scan, P),
+            bm.cursor,
+        ),
     )
 
 
@@ -193,19 +200,21 @@ def blockmap_refresh_poses(
 ) -> BlockMap:
     """Write refined keyframe poses back into the map (pose-graph feedback).
 
-    ``keyframe_states`` is the full (n_spawned, 6) history of keyframe world
-    states in spawn order (e.g. refined by
-    :func:`icet_tpu.pose_graph.optimize_poses_sparse`); only the latest B
+    ``keyframe_states`` is the FULL (n_spawned, 6) history of keyframe world
+    states in spawn order (e.g. ``KeyframeOdometry.keyframe_states`` refined
+    by :func:`icet_tpu.pose_graph.optimize_poses_sparse`); only the latest B
     (the blocks still resident) are written.  This is the O(B) alternative to
     the reference's O(map) re-expression after trajectory updates.
     """
     B = bm.poses.shape[0]
     n = int(bm.n_blocks)
     states = np.asarray(keyframe_states, np.float32)
-    assert states.shape[0] >= n or states.shape[0] >= min(n, B), (
-        states.shape,
-        n,
-    )
+    if states.shape[0] < n:
+        raise ValueError(
+            f"keyframe_states must cover all {n} spawned keyframes "
+            f"(got {states.shape[0]}); resident blocks are indexed by their "
+            "spawn order, so a trailing window is ambiguous"
+        )
     poses = np.asarray(bm.poses).copy()
     for spawn_idx in range(max(0, n - B), n):
         poses[spawn_idx % B] = states[spawn_idx]
@@ -257,7 +266,7 @@ def keyframe_step_jit(
     the DELTA (falling back to the prediction), folds the scan into the
     active map block, and decides whether a new keyframe must be spawned.
 
-    Returns ``(res, X_rel, delta, diverged, spawn, new_bm)``.
+    Returns ``(res, X_rel, delta, diverged, spawn, n_corr, new_bm)``.
     """
     x0 = compose_states(x_prev_rel, delta_prev)
     # Solve in the PREDICTION frame: pre-transform the scan by the constant
@@ -294,8 +303,6 @@ def keyframe_step_jit(
     X = jnp.where(diverged, x0, res.X)
     delta = jnp.where(diverged, delta_prev, delta)
 
-    new_bm = _blockmap_insert(bm, scan, X, key, bm_cfg, cfg.min_range)
-
     n_corr = res.diagnostics.n_corr[-1]
     spawn = (
         (jnp.linalg.norm(X[:3]) > kf_cfg.spawn_distance)
@@ -303,6 +310,12 @@ def keyframe_step_jit(
         | (n_corr.astype(jnp.float32)
            < kf_cfg.min_corr_fraction * n_corr0.astype(jnp.float32))
         | diverged
+    )
+    # Spawn frames skip this insert — keyframe_spawn_jit seeds the NEW block
+    # with the same scan, and inserting here too would duplicate its points
+    # in the old block (double-weighted geometry, wasted capacity).
+    new_bm = _blockmap_insert(
+        bm, scan, X, key, bm_cfg, cfg.min_range, enabled=~spawn
     )
     return res, X, delta, diverged, spawn, n_corr, new_bm
 
@@ -383,6 +396,7 @@ class KeyframeOdometry:
         self._T_key = np.eye(4)
         self._x_rel = jnp.zeros(6, jnp.float32)
         self._delta = jnp.zeros(6, jnp.float32)
+        self._stds_rel = np.zeros(6, np.float32)
         self._n_corr0: jax.Array | None = None
         self._index = 0
         self.keyframe_states: list[np.ndarray] = []
@@ -433,14 +447,28 @@ class KeyframeOdometry:
         self._x_rel = x_rel
         self._delta = delta
 
+        # The reported X is the consecutive-frame DELTA (difference of two
+        # keyframe-relative solves), so its stds must describe the delta:
+        # conservative independent-sum bound sqrt(cur^2 + prev^2) — the two
+        # solves actually share x_prev error (anti-correlated), so the true
+        # delta error is smaller; over-reporting just down-weights keyframe
+        # edges safely in the pose graph.  At a frame right after a spawn
+        # x_prev_rel is exactly 0, so prev stds are zero and the bound is
+        # exact.
+        cur_stds = np.asarray(res.pred_stds)
+        delta_stds = np.sqrt(cur_stds**2 + self._stds_rel**2)
+
         is_kf = bool(spawn)
         if is_kf:
             self._spawn(scan_dev, T_world)
+            self._stds_rel = np.zeros(6, np.float32)
+        else:
+            self._stds_rel = cur_stds
 
         frame = KeyframeFrame(
             index=self._index,
             X=np.asarray(delta),
-            pred_stds=np.asarray(res.pred_stds),
+            pred_stds=delta_stds,
             T_world=T_world,
             diverged=bool(diverged),
             X_rel=X_rel,
