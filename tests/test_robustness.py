@@ -87,3 +87,37 @@ def test_prepare_reference_finite_on_degenerate(rng):
     model = prepare_reference_jit(jnp.asarray(pts), CFG)
     for leaf in model:
         assert np.isfinite(np.asarray(leaf, dtype=np.float64)).all()
+
+
+def test_shuffled_cloud_matches_ordered(rng):
+    """A shuffled (non-beam-major) cloud must produce the same voxel model
+    as the ordered one through the fused path: the windowed count/moment
+    kernels overflow and fall back (lax.cond) to the order-independent
+    paths — clustering bounds exactly, moments to f32 summation order."""
+    import jax.numpy as jnp
+
+    from icet_tpu import ICETConfig
+    from icet_tpu.datasets.synthetic import simulate_scan
+    from icet_tpu.solver import prepare_reference_jit
+
+    cfg = ICETConfig(
+        n_theta=24, n_phi=8, phi_min=np.pi / 3, phi_max=2 * np.pi / 3,
+        min_pts=10, min_range=1.0, moment_method="fused",
+    )
+    scan = np.asarray(simulate_scan(n_beams=16, n_azimuth=256, seed=9),
+                      np.float32)
+    shuffled = scan[rng.permutation(scan.shape[0])]
+    m_ord = prepare_reference_jit(jnp.asarray(scan), cfg)
+    m_shuf = prepare_reference_jit(jnp.asarray(shuffled), cfg)
+    np.testing.assert_array_equal(
+        np.asarray(m_ord.bounds), np.asarray(m_shuf.bounds)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(m_ord.valid), np.asarray(m_shuf.valid)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(m_ord.count), np.asarray(m_shuf.count)
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_ord.mean), np.asarray(m_shuf.mean), atol=1e-4
+    )
