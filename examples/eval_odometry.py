@@ -39,6 +39,13 @@ def main():
     ap.add_argument("--profile", default="odometry", choices=["odometry", "mapping"])
     ap.add_argument("--out", default=None, help="write TUM trajectory here")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument(
+        "--clamp", type=float, default=2.5,
+        help="divergence clamp (m) on the per-frame solution; must admit "
+             "the sequence's real per-frame motion (KITTI at 10 Hz moves "
+             "1-3 m/frame — the reference's 0.3 default rejects it and "
+             "zeroes every solve)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -75,7 +82,9 @@ def main():
             n_iters=6, min_pts=20, min_range=1.0,
         )
 
-    pipe = OdometryPipeline(cfg)
+    from icet_tpu.config import OdometryConfig
+
+    pipe = OdometryPipeline(cfg, OdometryConfig(divergence_clamp=args.clamp))
     frames = []
     for i, scan in enumerate(scans):
         if i >= n_frames:
