@@ -79,6 +79,39 @@ def make_raycast_voxel_pairs(
     return np.concatenate(all1), np.concatenate(all2)
 
 
+def make_real_pair_voxel_samples(
+    scan1: np.ndarray,
+    scan2: np.ndarray,
+    X_true: np.ndarray,
+    cfg: ICETConfig,
+    samples_per_voxel: int = 100,
+    min_pts: int = 30,
+):
+    """Distillation samples from a REAL scan pair with a known transform.
+
+    Aligns scan 2 by ``X_true`` (e.g. the golden solution for the bundled
+    Ouster frames) and extracts per-voxel sample pairs exactly like
+    :func:`make_raycast_voxel_pairs` — any residual per-voxel mean offset
+    after TRUE alignment is genuine perspective-shift bias, the signal the
+    filter compares against.  Returns (s1 (B, S, 3), s2 (B, S, 3)); feed to
+    :func:`raycast_batch_iter` alongside the raycast pairs to mix real
+    sensor statistics (beam dropout, range noise, real surfaces) into
+    training.
+    """
+    from icet_tpu.solver import prepare_reference_jit
+
+    s1d = jnp.asarray(np.asarray(scan1, np.float32))
+    s2d = transform_points(
+        jnp.asarray(np.asarray(scan2, np.float32)),
+        jnp.asarray(np.asarray(X_true, np.float32)),
+    )
+    model = prepare_reference_jit(s1d, cfg)
+    s1, n1 = _voxel_samples(s1d, model, cfg, samples_per_voxel)
+    s2, n2 = _voxel_samples(s2d, model, cfg, samples_per_voxel)
+    ok = np.asarray(model.valid & (n1 >= min_pts) & (n2 >= min_pts))
+    return np.asarray(s1)[ok], np.asarray(s2)[ok]
+
+
 def raycast_batch_iter(s1, s2, key, batch: int = 256, shift_scale: float = 0.3):
     """Infinite iterator of (inputs, targets) from pre-built voxel pairs:
     each batch resamples voxels and injects a fresh known translation."""
@@ -101,8 +134,14 @@ def train_bias_net_mixed(
     lr: float = 1e-3,
     seed: int = 0,
     n_pairs: int = 6,
+    extra_pairs=None,
 ):
-    """Train on a 50/50 mix of synthetic patches and raycast voxel pairs."""
+    """Train on a 50/50 mix of synthetic patches and raycast voxel pairs.
+
+    ``extra_pairs``: optional (s1, s2) voxel-sample arrays appended to the
+    raycast pool — e.g. :func:`make_real_pair_voxel_samples` output from
+    real sensor pairs (distillation of real beam statistics).
+    """
     from icet_tpu.models.bias_net import (
         create_train_state,
         make_patch_batch,
@@ -115,6 +154,9 @@ def train_bias_net_mixed(
     s1, s2 = make_raycast_voxel_pairs(
         n_pairs=n_pairs, samples_per_voxel=sample_pts, seed=seed
     )
+    if extra_pairs is not None:
+        s1 = np.concatenate([s1, np.asarray(extra_pairs[0], np.float32)])
+        s2 = np.concatenate([s2, np.asarray(extra_pairs[1], np.float32)])
     key, kr = jax.random.split(key)
     ray_iter = raycast_batch_iter(s1, s2, kr, batch)
     losses = []
