@@ -203,3 +203,26 @@ def test_raycast_training_data():
     it = raycast_batch_iter(s1, s2, jax.random.PRNGKey(0), batch=8)
     inputs, targets = next(it)
     assert inputs.shape == (8, 32, 4) and targets.shape == (8, 3)
+
+
+def test_real_pair_distillation_samples(rng):
+    """make_real_pair_voxel_samples: aligned voxel sample pairs from a scan
+    pair with known transform — per-voxel mean offsets after alignment must
+    be small (the residual IS the perspective-shift signal, not the motion)."""
+    from icet_tpu.models.train_data import make_real_pair_voxel_samples
+
+    X_true = np.array([0.3, 0.1, 0.0, 0.0, 0.0, 0.02], np.float32)
+    scan1, scan2 = scan_pair_with_ground_truth(X_true, seed=6)
+    cfg = ICETConfig(
+        n_theta=24, n_phi=8, phi_min=np.pi / 3, phi_max=2 * np.pi / 3,
+        min_pts=10, min_range=1.0, moment_method="segsum",
+    )
+    s1, s2 = make_real_pair_voxel_samples(
+        scan1, scan2, X_true, cfg, samples_per_voxel=50, min_pts=20
+    )
+    assert s1.shape == s2.shape and s1.shape[1:] == (50, 3)
+    assert s1.shape[0] >= 20  # enough populated voxels to train on
+    # After TRUE alignment the per-voxel mean offset is residual bias, far
+    # smaller than the 0.32 m injected motion.
+    d = np.linalg.norm(s2.mean(axis=1) - s1.mean(axis=1), axis=1)
+    assert np.median(d) < 0.1, np.median(d)
