@@ -8,7 +8,8 @@ The headline is SEQUENCE odometry: a 24-frame city drive (64x1024 raycast,
 through the FUSED ODOMETRY STEP (register the new scan against the previous
 frame's voxel model + fit the new scan's own model), warm-started at the
 previous frame's motion, with convergence-based early exit (|dx| < 1e-4,
-hard cap 7 iterations — solves match fixed-runlen to < 1e-6 per component;
+hard cap 7 iterations — solves match fixed-runlen to < 1e-4 per component,
+measured max |diff| 8.7e-5 on the bundled Ouster pair;
 steady state converges in ~2.3 iterations/frame).  That is what a production
 odometry loop pays per frame: the reference's ICET ctor runs fitScan1 +
 prepScan2 + runlen x fitScan2 every scan (src/icet.cpp:29-63,
@@ -42,6 +43,7 @@ Methodology (hard-won; see CLAUDE.md):
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -49,6 +51,8 @@ import numpy as np
 
 REFERENCE_MS = 35.0  # reference README.md:57-59
 CHAINS = (10, 50)
+PROBE_TIMEOUT_S = 60  # trivial-op probe budget (CLAUDE.md tunnel playbook)
+WORKER_TIMEOUT_S = 2400  # full bench incl. cold compiles (first ~20-40s each)
 DRIVE_CACHE = "/tmp/bench_drive.npz"
 DRIVE_FRAMES = 24
 
@@ -114,7 +118,8 @@ def main() -> None:
     jax.block_until_ready((c1, c2, x0, drive))
 
     # Early exit on |dx| < 1e-4 (cap 7), the production odometry profile;
-    # validated to match fixed-runlen solves to < 1e-6 per component.
+    # validated to match fixed-runlen solves to < 1e-4 per component
+    # (measured max |diff| 8.7e-5 on the bundled Ouster pair).
     cfg = ICETConfig(n_iters=7, convergence_tol=1e-4)
 
     # --- headline: sequence odometry (register + next-frame prepare) ---
@@ -183,14 +188,15 @@ def main() -> None:
             scan0 = frames[0]
             bm0 = blockmap_init(bm_cfg)
             model0, bm0 = keyframe_spawn_jit(
-                bm0, scan0, jnp.zeros(6, jnp.float32), cfg, bm_cfg
+                bm0, scan0, jnp.zeros(6, jnp.float32),
+                jax.random.PRNGKey(1), cfg, bm_cfg,
             )
             ks = (jnp.arange(chain) + 1) % nf
 
             def body(carry, k):
                 model, bm, x_rel, delta, world, key, n_corr0 = carry
                 scan = frames[k]
-                key, sub = jax.random.split(key)
+                key, sub, sub2 = jax.random.split(key, 3)
                 res, x_rel2, delta2, _div, spawn, n_corr, bm2 = (
                     keyframe_step_jit(
                         model, bm, scan, x_rel, delta, sub, n_corr0,
@@ -202,7 +208,7 @@ def main() -> None:
 
                 def do_spawn(_):
                     m2, bm3 = keyframe_spawn_jit(
-                        bm2, scan, world2, cfg, bm_cfg
+                        bm2, scan, world2, sub2, cfg, bm_cfg
                     )
                     return (
                         m2, bm3, jnp.zeros(6, jnp.float32),
@@ -279,5 +285,80 @@ def main() -> None:
     print(json.dumps(out))
 
 
+# --- driver-proof orchestration -------------------------------------------
+# The TPU is reached through a tunnel that can hang a process forever on its
+# first device sync or die outright (both observed; CLAUDE.md "the tunnel
+# LIES").  Run as an orchestrator by default: probe with a trivial op in a
+# throwaway subprocess (60 s deadline), then run the measurement in a fresh
+# subprocess under its own deadline, retrying each stage once.  On total
+# failure emit ONE parseable JSON line with an "error" field instead of a
+# stack trace, so BENCH_r{N}.json is machine-readable either way.
+
+_PROBE_CODE = (
+    "import jax, jax.numpy as jnp;"
+    "x = jnp.ones((8, 8));"
+    "(x @ x).block_until_ready();"
+    "print('PROBE_OK', jax.devices()[0].platform)"
+)
+
+
+def _probe_once() -> bool:
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _PROBE_CODE],
+            capture_output=True, text=True, timeout=PROBE_TIMEOUT_S,
+        )
+        return r.returncode == 0 and "PROBE_OK" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _worker_once():
+    """Run the measurement in a fresh process; return (json_dict|None, note)."""
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker"],
+            capture_output=True, text=True, timeout=WORKER_TIMEOUT_S,
+        )
+    except subprocess.TimeoutExpired:
+        return None, "worker timeout after %ds" % WORKER_TIMEOUT_S
+    for line in reversed(r.stdout.strip().splitlines() or [""]):
+        if line.startswith("{"):
+            try:
+                return json.loads(line), ""
+            except json.JSONDecodeError:
+                break
+    tail = (r.stderr or r.stdout or "").strip().splitlines()[-6:]
+    return None, "rc=%d: %s" % (r.returncode, " | ".join(tail))
+
+
+def orchestrate() -> int:
+    notes = []
+    for attempt in range(2):
+        if not _probe_once():
+            notes.append("probe %d: no device response in %ds"
+                         % (attempt + 1, PROBE_TIMEOUT_S))
+            continue
+        out, note = _worker_once()
+        if out is not None:
+            print(json.dumps(out))
+            return 0
+        notes.append("worker %d: %s" % (attempt + 1, note))
+    print(json.dumps({
+        "metric": "odometry_frame_ms",
+        "value": None,
+        "unit": "ms/frame device time",
+        "vs_baseline": None,
+        "error": "tpu_unavailable",
+        "detail": "; ".join(notes),
+        "last_known_good": {
+            "odometry_frame_ms": 1.17, "source": "round-2 builder measurement"
+        },
+    }))
+    return 0
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    if "--worker" in sys.argv:
+        sys.exit(main())
+    sys.exit(orchestrate())

@@ -320,24 +320,31 @@ def keyframe_step_jit(
     return res, X, delta, diverged, spawn, n_corr, new_bm
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4), donate_argnums=(0,))
+@functools.partial(jax.jit, static_argnums=(4, 5), donate_argnums=(0,))
 def keyframe_spawn_jit(
     bm: BlockMap,
     scan: jax.Array,
     world_state: jax.Array,
+    key: jax.Array,
     cfg: ICETConfig,
     bm_cfg: BlockMapConfig,
 ):
     """Spawn a keyframe: fit the scan's voxel model and open its map block
     (seeded with the scan itself).  One extra dispatch per keyframe — the
-    prepare stage is paid here instead of every frame."""
+    prepare stage is paid here instead of every frame.
+
+    ``key`` decorrelates the seed-insert downsample across keyframes: a
+    constant key would pick the identical point indices for every block,
+    which on beam-major scans means fixed (beam, azimuth) positions —
+    spatially correlated sampling across the whole map.
+    """
     model = prepare_reference(scan, cfg)
     new_bm = _blockmap_spawn(bm, world_state)
     new_bm = _blockmap_insert(
         new_bm,
         scan,
         jnp.zeros(6, jnp.float32),
-        jax.random.PRNGKey(0),
+        key,
         bm_cfg,
         cfg.min_range,
     )
@@ -404,8 +411,10 @@ class KeyframeOdometry:
 
     def _spawn(self, scan_dev: jax.Array, T_world: np.ndarray) -> None:
         state = np_pose_to_state(T_world).astype(np.float32)
+        self._key, sub = jax.random.split(self._key)
         self._model, self.blockmap = keyframe_spawn_jit(
-            self.blockmap, scan_dev, jnp.asarray(state), self.cfg, self.bm_cfg
+            self.blockmap, scan_dev, jnp.asarray(state), sub,
+            self.cfg, self.bm_cfg,
         )
         self._T_key = T_world
         self._x_rel = jnp.zeros(6, jnp.float32)

@@ -143,7 +143,9 @@ def map_step_jit(
     """
     from icet_tpu.solver import prepare_reference, register
 
-    res = register(model, scan, jnp.zeros(6, jnp.float32), cfg)
+    res = register(
+        model, scan, jnp.zeros(6, jnp.float32), cfg, want_static_mask=False
+    )
     diverged = jnp.any(jnp.abs(res.X) > divergence_clamp)
     X = jnp.where(diverged, jnp.zeros(6, jnp.float32), res.X)
     new_state = _map_update_impl(state, scan, X, key, map_cfg, cfg.min_range)

@@ -11,6 +11,9 @@ BASELINE.md's north star.
 
 from __future__ import annotations
 
+import threading
+import time
+
 import numpy as np
 
 import jax
@@ -24,19 +27,49 @@ from icet_tpu.parallel.sharding import (
 )
 
 
-def probe_devices(devices=None) -> list:
-    """Return the subset of devices that complete a trivial dispatch."""
+def _default_probe_op(d) -> bool:
+    x = jax.device_put(jnp.ones((8,)), d)
+    return float(jnp.sum(x)) == 8.0
+
+
+def probe_devices(devices=None, timeout_s: float = 60.0, _op=None) -> list:
+    """Return the subset of devices that complete a trivial dispatch
+    within ``timeout_s`` seconds.
+
+    The dominant real-world failure mode on this hardware is NOT an
+    exception but a dispatch that never returns (tunnel hangs forever on
+    the first device sync — CLAUDE.md).  Each device is therefore probed
+    on its own daemon watchdog thread, all concurrently; a device whose
+    probe neither returns nor raises by the deadline is reported
+    unhealthy.  A hung probe thread is abandoned (daemon, leaks one
+    blocked thread) rather than allowed to freeze the recovery path that
+    called us.
+
+    ``_op(device) -> bool`` is injectable for tests (e.g. a probe that
+    blocks forever).
+    """
     if devices is None:
         devices = jax.devices()
-    healthy = []
-    for d in devices:
+    op = _op or _default_probe_op
+    results: dict[int, bool] = {}
+
+    def work(i, d):
         try:
-            x = jax.device_put(jnp.ones((8,)), d)
-            if float(jnp.sum(x)) == 8.0:
-                healthy.append(d)
+            ok = bool(op(d))
         except Exception:
-            continue
-    return healthy
+            ok = False
+        results[i] = ok  # GIL-atomic per-key store
+
+    threads = [
+        threading.Thread(target=work, args=(i, d), daemon=True)
+        for i, d in enumerate(devices)
+    ]
+    for t in threads:
+        t.start()
+    deadline = time.monotonic() + timeout_s
+    for t in threads:
+        t.join(max(0.0, deadline - time.monotonic()))
+    return [d for i, d in enumerate(devices) if results.get(i)]
 
 
 def best_mesh_shape(n_devices: int, prefer_dp: int) -> tuple[int, int]:

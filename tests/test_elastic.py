@@ -40,6 +40,40 @@ def test_probe_devices_all_healthy():
     assert len(probe_devices()) == len(jax.devices())
 
 
+def test_probe_devices_hang_is_time_bounded():
+    """A device whose probe dispatch never returns (the tunnel's observed
+    hang-forever-on-first-sync mode) must be reported unhealthy within the
+    deadline instead of freezing the recovery path."""
+    import threading
+    import time
+
+    hang_forever = threading.Event()  # never set
+
+    def hanging_op(d):
+        hang_forever.wait()  # blocks until process exit
+        return True
+
+    t0 = time.monotonic()
+    healthy = probe_devices(jax.devices(), timeout_s=0.5, _op=hanging_op)
+    elapsed = time.monotonic() - t0
+    assert healthy == []
+    assert elapsed < 5.0  # bounded: all devices probed concurrently
+
+
+def test_probe_devices_mixed_hang_and_healthy():
+    devs = jax.devices()
+
+    def op(d):
+        if d.id % 2 == 0:
+            import threading
+
+            threading.Event().wait()  # hang
+        return True
+
+    healthy = probe_devices(devs, timeout_s=0.5, _op=op)
+    assert healthy == [d for d in devs if d.id % 2 == 1]
+
+
 def test_elastic_run(batch):
     s1, s2, x0, X_true = batch
     runner = ElasticRegistrationRunner(CFG, prefer_dp=2)
