@@ -260,6 +260,43 @@ def test_detect_loop_candidates():
     assert all(j - i >= 5 for i, j in cands)
 
 
+def test_detect_loop_candidates_topk_matches_bruteforce(rng):
+    """k>1 returns the k nearest admissible j per i, nearest-first."""
+    pos = rng.normal(0, 8.0, (300, 3))
+    radius, min_gap, k = 4.0, 10, 3
+
+    brute = []
+    for i in range(len(pos)):
+        cand = []
+        for j in range(i + min_gap, len(pos)):
+            d = np.linalg.norm(pos[i] - pos[j])
+            if d < radius:
+                cand.append((d, j))
+        cand.sort()
+        brute.extend((i, j) for _, j in cand[:k])
+
+    assert detect_loop_candidates(pos, radius, min_gap, k=k) == brute
+
+
+def test_detect_loop_candidates_city_scale_is_fast():
+    """100k poses at realistic keyframe spacing resolve in well under a
+    second (VERDICT r2 #8).  A 200 km out-and-back: the return pass drives
+    1.5 m beside the outbound lane, so ~every pose has loop candidates."""
+    import time
+
+    rng = np.random.default_rng(0)
+    n, half = 100_000, 50_000
+    x = np.concatenate([np.arange(half), np.arange(half)[::-1]]) * 2.0
+    y = np.concatenate([np.zeros(half), np.full(half, 1.5)])
+    pos = np.stack([x, y, np.zeros(n)], axis=1) + rng.normal(0, 0.3, (n, 3))
+    t0 = time.monotonic()
+    cands = detect_loop_candidates(pos, radius=3.0, min_gap=100, k=2)
+    elapsed = time.monotonic() - t0
+    assert elapsed < 1.0, elapsed
+    assert len(cands) > 50_000  # nearly every pose sees the other pass
+    assert all(j - i >= 100 for i, j in cands)
+
+
 def test_sharded_matches_single_device(rng):
     """Factor-sharded optimization over the CPU mesh must reproduce the
     single-device result (one psum of the normals per GN iteration)."""
