@@ -234,5 +234,9 @@ PROFILES = {
         min_range=0.2,
         sigma_scale=3.0,
         condition_cutoff=1e7,
+        # The demo notebook runs moving-object rejection ON
+        # (ICET_demo.ipynb: is_remove_moving=True; ctor default RM=True,
+        # start_RM_iter=4, RM_thresh=0.3 — ICET_spherical.py:22,37-38).
+        remove_moving=True,
     ),
 }

@@ -174,6 +174,48 @@ class TestReferenceGolden:
         assert (stds / golden_stds < 3.0).all()
         assert (stds / golden_stds > 1 / 3.0).all()
 
+    def test_frame_804_805_matches_reference_python(self, frame_clouds):
+        """Second corridor: the bundled Ouster pair at the reference
+        python's fid=75 configuration (75 theta x 24 phi over
+        [3pi/8, 7pi/8] — ICET_spherical.py:1210-1211,99-105 — the same bin
+        counts as the C++ mapping node, simpleMapMaker.cpp:113-119).
+
+        Golden value measured by running the UNMODIFIED reference python
+        through tools/oracle/run_refpy.py (6 seeds, spread ~1e-3/component):
+          X = [-0.0259, -0.1014, 0.0321, -0.0126, -0.0098, -0.0282]
+        The reference C++ at the same grid gives y = -0.006 — the outlier
+        (its math deviates from the python's; we follow the python, see
+        tools/oracle/README.md for the three-way comparison and the
+        synthetic-ground-truth head-to-head where the C++ errs 5.7 mm vs
+        our 0.6 mm).  Corridor width covers the remaining legitimate
+        estimator difference: our full-point voxel moments vs the
+        reference's fixed 25-point subsample reweight voxels differently
+        (~1 cm scene-dependent shift on real data, zero on synthetics).
+        """
+        c1, c2 = frame_clouds
+        cfg = ICETConfig(
+            n_theta=75,
+            n_phi=24,
+            phi_min=3 * np.pi / 8,
+            phi_max=7 * np.pi / 8,
+            n_iters=12,
+            min_range=0.2,
+            cluster_gap=0.5,
+            cluster_buffer=0.1,
+            sigma_scale=3.0,
+            condition_cutoff=1e7,
+            remove_moving=True,
+        )
+        res = register_pair(jnp.asarray(c1), jnp.asarray(c2), jnp.zeros(6), cfg)
+        X = np.asarray(res.X)
+        golden = np.array([-0.0259, -0.1014, 0.0321, -0.0126, -0.0098, -0.0282])
+        np.testing.assert_allclose(X[:3], golden[:3], atol=0.02)
+        np.testing.assert_allclose(X[3:], golden[3:], atol=0.005)
+        stds = np.asarray(res.pred_stds)
+        golden_stds = np.array([3.2e-4, 4.2e-4, 1.6e-4, 2.8e-5, 2.1e-5, 3.7e-5])
+        assert (stds / golden_stds < 3.0).all()
+        assert (stds / golden_stds > 1 / 3.0).all()
+
 
 class TestConvergenceEarlyExit:
     """The lax.while_loop early-exit path (convergence_tol > 0) — the
