@@ -1,0 +1,152 @@
+"""KITTI odometry-format IO + evaluation-harness tests (VERDICT r2 #3).
+
+No real KITTI data ships in this environment; the harness is CI-tested on
+a synthetic KITTI-formatted fixture written from the raycast city drive
+(exact ground truth), exercising the same code path a real sequence takes:
+velodyne/*.bin + poses.txt + calib.txt -> KittiOdometrySource ->
+OdometryPipeline -> ATE/RPE.
+"""
+
+import numpy as np
+import pytest
+
+from icet_tpu.datasets.kitti import (
+    KittiOdometrySource,
+    load_calib_tr,
+    load_poses,
+    save_poses,
+    write_kitti_sequence,
+)
+
+
+def _pose(rng):
+    ang = rng.normal(0, 0.2, 3)
+    ca, sa = np.cos(ang), np.sin(ang)
+    Rz = np.array([[ca[2], -sa[2], 0], [sa[2], ca[2], 0], [0, 0, 1]])
+    T = np.eye(4)
+    T[:3, :3] = Rz
+    T[:3, 3] = rng.normal(0, 5.0, 3)
+    return T
+
+
+class TestKittiIO:
+    def test_poses_roundtrip(self, rng, tmp_path):
+        poses = [_pose(rng) for _ in range(7)]
+        p = str(tmp_path / "poses.txt")
+        save_poses(p, poses)
+        back = load_poses(p)
+        np.testing.assert_allclose(back, np.stack(poses), atol=1e-7)
+
+    def test_sequence_roundtrip_with_calib(self, rng, tmp_path):
+        """Scans + velodyne-frame ground truth round-trip through the
+        cam0-frame poses.txt + Tr calib convention the benchmark uses."""
+        scans = [
+            rng.normal(0, 10, (50 + 10 * i, 3)).astype(np.float32)
+            for i in range(4)
+        ]
+        T_w_velo = [_pose(rng) for _ in range(4)]
+        tr = _pose(rng)  # arbitrary invertible T_cam0<-velo
+        poses_cam = [T @ np.linalg.inv(tr) for T in T_w_velo]
+
+        d = write_kitti_sequence(
+            str(tmp_path / "seq"), scans, poses_cam, calib_tr=tr
+        )
+        assert load_calib_tr(str(tmp_path / "seq" / "calib.txt")) is not None
+        src = KittiOdometrySource(
+            d, poses_file=str(tmp_path / "seq" / "poses.txt"),
+            max_points=256, beam_major=False,
+        )
+        assert len(src) == 4
+        for (scan, T), orig, T_orig in zip(src, scans, T_w_velo):
+            nz = scan[np.any(scan != 0.0, axis=1)]
+            np.testing.assert_allclose(nz, orig, atol=1e-6)
+            np.testing.assert_allclose(T, T_orig, atol=1e-6)
+
+    def test_no_poses_gives_none(self, rng, tmp_path):
+        d = write_kitti_sequence(
+            str(tmp_path / "seq"),
+            [rng.normal(0, 10, (40, 3)).astype(np.float32)],
+            [np.eye(4)],
+        )
+        src = KittiOdometrySource(d, max_points=64, beam_major=False)
+        scan, T = next(iter(src))
+        assert T is None
+
+
+@pytest.mark.integration
+class TestEvalHarness:
+    def test_city_fixture_end_to_end(self, tmp_path):
+        """Write a KITTI-formatted fixture from the raycast city drive and
+        score it through the full harness; odometry must track ground truth."""
+        from icet_tpu.datasets.replay import CityDriveSource
+
+        import examples.eval_kitti as ek
+
+        src = CityDriveSource(n_frames=10, speed=1.0, n_beams=48,
+                              n_azimuth=512)
+        scans, poses = [], []
+        for scan, T in src:
+            scans.append(scan)
+            poses.append(T)
+        d = write_kitti_sequence(str(tmp_path / "seq"), scans, poses)
+
+        args = ek.build_parser().parse_args([
+            "--sequence", d,
+            "--poses", str(tmp_path / "seq" / "poses.txt"),
+            "--max-points", "32768",
+            "--clamp", "2.5",
+            # scale the grid to the 48x512-ray fixture (the canonical 75x24
+            # grid leaves most voxels under min_pts at this resolution)
+            "--n-theta", "48", "--n-phi", "16", "--min-pts", "20",
+            "--min-range", "1.0", "--n-iters", "6", "--phi-band", "0.524",
+        ])
+        summary = ek.run(args)
+        assert summary["frames"] == 9
+        assert summary["divergences"] == 0
+        assert summary["ate_odometry_cm"] < 15.0, summary
+
+    def test_oracle_head_to_head(self, tmp_path):
+        """--oracle runs the reference C++ per pair on identical scans and
+        scores both trajectories; ours must be at least comparable (<=2x
+        the reference ATE + 1 cm slack) on the fixture.  Skipped when the
+        oracle can't be built (no g++)."""
+        import shutil
+        import subprocess
+
+        if shutil.which("g++") is None:
+            pytest.skip("no g++")
+        build = subprocess.run(
+            ["sh", "tools/oracle/build_oracle.sh", str(tmp_path / "bin")],
+            capture_output=True, text=True, cwd="/root/repo", timeout=600,
+        )
+        if build.returncode != 0:
+            pytest.skip(f"oracle build failed: {build.stderr[-200:]}")
+
+        from icet_tpu.datasets.replay import CityDriveSource
+
+        import examples.eval_kitti as ek
+
+        src = CityDriveSource(n_frames=5, speed=1.0, n_beams=48,
+                              n_azimuth=512)
+        scans, poses = [], []
+        for scan, T in src:
+            scans.append(scan)
+            poses.append(T)
+        d = write_kitti_sequence(str(tmp_path / "seq"), scans, poses)
+        args = ek.build_parser().parse_args([
+            "--sequence", d,
+            "--poses", str(tmp_path / "seq" / "poses.txt"),
+            "--max-points", "32768", "--clamp", "2.5",
+            "--n-theta", "48", "--n-phi", "16", "--min-pts", "20",
+            "--min-range", "1.0", "--n-iters", "6", "--phi-band", "0.524",
+            "--oracle", str(tmp_path / "bin" / "oracle"),
+            # the reference's 0.1 indoor cluster threshold lands in a wrong
+            # minimum on this noisy fixture; its own comments say 0.3-0.5
+            # outdoor (icet.h:32-34)
+            "--oracle-thresh", "0.5", "--oracle-buff", "0.5",
+        ])
+        summary = ek.run(args)
+        assert "oracle" in summary and "ate_cm" in summary["oracle"]
+        assert summary["ate_odometry_cm"] <= (
+            2.0 * summary["oracle"]["ate_cm"] + 1.0
+        ), summary
