@@ -112,6 +112,11 @@ class ICETConfig:
     dnn_thresh: float = 0.05
     #: points sampled per scan per voxel for the DNN input (reference 100)
     dnn_sample_pts: int = 100
+    #: True = reference semantics: the filter mask is recomputed from the
+    #: CURRENT cumulative estimate before every iteration past
+    #: dnn_start_iter, inside the solve loop (ICET_spherical.py:288-390).
+    #: False = one cheaper rejection at the dnn_start_iter phase boundary.
+    dnn_in_loop: bool = True
 
     # ---- implementation knobs (no reference equivalent) ---------------------
     #: moment accumulation strategy: "segsum" (XLA scatter-add segment_sum),

@@ -138,6 +138,18 @@ def dnn_reject_mask(
 _PRETRAINED_CACHE: dict[int, tuple] = {}
 
 
+def pretrained_dnn(cfg: ICETConfig) -> tuple:
+    """The bundled pretrained bias network for ``cfg.dnn_sample_pts``
+    (process-cached: pipelines and register_scans share one load)."""
+    if cfg.dnn_sample_pts not in _PRETRAINED_CACHE:
+        from icet_tpu.models.bias_net import load_pretrained
+
+        _PRETRAINED_CACHE[cfg.dnn_sample_pts] = load_pretrained(
+            cfg.dnn_sample_pts
+        )
+    return _PRETRAINED_CACHE[cfg.dnn_sample_pts]
+
+
 def register_scans(
     scan1: jax.Array,
     scan2: jax.Array,
@@ -161,15 +173,90 @@ def register_scans(
         from icet_tpu.solver import register_pair
 
         return register_pair(scan1, scan2, x0, cfg)
-    if cfg.dnn_sample_pts not in _PRETRAINED_CACHE:
-        from icet_tpu.models.bias_net import load_pretrained
-
-        _PRETRAINED_CACHE[cfg.dnn_sample_pts] = load_pretrained(
-            cfg.dnn_sample_pts
-        )
-    net, params = _PRETRAINED_CACHE[cfg.dnn_sample_pts]
+    net, params = pretrained_dnn(cfg)
     res, _ = register_pair_with_dnn(scan1, scan2, x0, cfg, net, params)
     return res
+
+
+def register_with_dnn(
+    model: VoxelModel,
+    scan1: jax.Array,
+    scan2: jax.Array,
+    x0: jax.Array,
+    cfg: ICETConfig,
+    bias_net: BiasNet,
+    params,
+    want_static_mask: bool = True,
+) -> tuple[RegistrationResult, DnnFilterResult]:
+    """Registration against a prepared model with the DNN perspective-shift
+    filter engaged (jittable; ``scan1`` is the model's source cloud, needed
+    for per-voxel point sampling).
+
+    Two modes (``cfg.dnn_in_loop``):
+
+    - **In-loop (reference semantics, default)** — per ICET_spherical.py:
+      288-390 the filter runs INSIDE the runlen loop at every iteration
+      ``i >= start_filter_iter``: correspondences from the current
+      cumulative estimate -> fresh reject mask -> masked WLS update of X,
+      repeated.  Expressed here as ``dnn_start_iter`` plain iterations
+      followed by a ``lax.scan`` whose every step recomputes the mask from
+      the current X and runs one masked iteration.
+    - **One-shot** — a single rejection at the phase boundary, then the
+      remaining iterations run with the fixed mask.  ~(n_post-1) fewer
+      bias-net forwards; equivalence on static scenes is asserted by
+      tests/test_models.py.
+    """
+    # Total iterations stay within cfg.n_iters (the reference runs the DNN
+    # filter inside the same runlen loop): the pre-filter phase is clamped
+    # to n_iters - 1 so pre + post == n_iters.  With n_iters == 1 there is
+    # no budget for a filtered phase — solve once, report the mask.
+    if cfg.n_iters < 2:
+        pre = register(model, scan2, x0, cfg.replace(n_iters=1))
+        aligned = transform_points(scan2, pre.X)
+        filt = dnn_reject_mask(bias_net, params, model, scan1, aligned, cfg)
+        return pre, filt
+    n_pre = max(min(cfg.dnn_start_iter, cfg.n_iters - 1), 1)
+    n_post = cfg.n_iters - n_pre
+
+    pre = register(model, scan2, x0, cfg.replace(n_iters=n_pre))
+
+    if not cfg.dnn_in_loop:
+        aligned = transform_points(scan2, pre.X)
+        filt = dnn_reject_mask(bias_net, params, model, scan1, aligned, cfg)
+        post = register(
+            model, scan2, pre.X, cfg.replace(n_iters=n_post),
+            corr_mask=filt.keep, want_static_mask=want_static_mask,
+        )
+        return post, filt
+
+    step_cfg = cfg.replace(n_iters=1, convergence_tol=0.0)
+
+    def body(X, _):
+        aligned = transform_points(scan2, X)
+        filt = dnn_reject_mask(bias_net, params, model, scan1, aligned, cfg)
+        res = register(model, scan2, X, step_cfg, corr_mask=filt.keep,
+                       want_static_mask=False)
+        return res.X, (res, filt)
+
+    _, (steps, filts) = jax.lax.scan(body, pre.X, None, length=n_post)
+    # The last scanned step carries the converged estimate, covariance and
+    # final mask; its scalar/row slices are the step's own outputs.
+    last = jax.tree_util.tree_map(lambda v: v[-1], (steps, filts))
+    res_last, filt_last = last
+    if want_static_mask:
+        # Recover the full-solve static mask at the final X under the final
+        # reject mask (the scanned steps skip it — see want_static_mask).
+        raw_ok = jnp.linalg.norm(scan2, axis=-1) >= cfg.min_range
+        p2 = transform_points(scan2, res_last.X)
+        rtp2 = cart_to_spherical(p2)
+        vid2 = voxel_ids(rtp2, cfg)
+        member2 = membership(
+            vid2, rtp2[..., 0], raw_ok, model.bounds, cfg.n_voxels
+        )
+        vsafe = jnp.where(member2, vid2, cfg.n_voxels)
+        static_mask = member2 & filt_last.keep[vsafe]
+        res_last = res_last._replace(static_mask=static_mask)
+    return res_last, filt_last
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4))
@@ -181,34 +268,28 @@ def register_pair_with_dnn(
     bias_net: BiasNet,
     params,
 ) -> tuple[RegistrationResult, DnnFilterResult]:
-    """Registration with the DNN perspective-shift filter engaged.
-
-    Phase 1 runs ``dnn_start_iter`` plain iterations; the filter then rejects
-    disagreeing voxels once, and phase 2 finishes the remaining iterations
-    with those voxels masked out of the correspondence set.
-    """
-    # Total iterations stay within cfg.n_iters (the reference runs the DNN
-    # filter inside the same runlen loop, ICET_spherical.py:288-290): clamp
-    # the pre-filter phase to n_iters - 1 so pre + post == n_iters.  With
-    # n_iters == 1 there is no budget for a filtered second phase at all —
-    # run ONE plain iteration, then apply the filter with a zero-iteration
-    # equivalent (n_post = 1 phase from the SAME warm X converges nowhere
-    # new; we instead report the filter mask alongside the 1-iteration
-    # solve by running the post phase as the single budgeted iteration).
-    if cfg.n_iters < 2:
-        model = prepare_reference(scan1, cfg)
-        pre = register(model, scan2, x0, cfg.replace(n_iters=1))
-        aligned = transform_points(scan2, pre.X)
-        filt = dnn_reject_mask(bias_net, params, model, scan1, aligned, cfg)
-        return pre, filt
-    n_pre = max(min(cfg.dnn_start_iter, cfg.n_iters - 1), 1)
-    n_post = cfg.n_iters - n_pre
-
+    """Pair-level entry: fit scan1's model, then register with the filter."""
     model = prepare_reference(scan1, cfg)
-    pre = register(model, scan2, x0, cfg.replace(n_iters=n_pre))
-    aligned = transform_points(scan2, pre.X)
-    filt = dnn_reject_mask(bias_net, params, model, scan1, aligned, cfg)
-    post = register(
-        model, scan2, pre.X, cfg.replace(n_iters=n_post), corr_mask=filt.keep
+    return register_with_dnn(model, scan1, scan2, x0, cfg, bias_net, params)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def odometry_step_dnn_jit(
+    model: VoxelModel,
+    prev_scan: jax.Array,
+    scan: jax.Array,
+    x0: jax.Array,
+    cfg: ICETConfig,
+    bias_net: BiasNet,
+    params,
+) -> tuple[RegistrationResult, VoxelModel]:
+    """DNN-filtered twin of ``solver.odometry_step_jit``: register the new
+    scan against the previous frame's model WITH the perspective-shift
+    filter (which needs the previous scan's raw points for per-voxel
+    sampling), and fit the new scan's own model — still one dispatch."""
+    res, _filt = register_with_dnn(
+        model, prev_scan, scan, x0, cfg, bias_net, params,
+        want_static_mask=False,
     )
-    return post, filt
+    new_model = prepare_reference(scan, cfg)
+    return res, new_model

@@ -245,8 +245,7 @@ def shard_blockmap(bm: BlockMap, mesh, axis: str = "dp") -> BlockMap:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnums=(7, 8, 9), donate_argnums=(1,))
-def keyframe_step_jit(
+def _keyframe_step_impl(
     model: VoxelModel,
     bm: BlockMap,
     scan: jax.Array,
@@ -257,14 +256,19 @@ def keyframe_step_jit(
     cfg: ICETConfig,
     kf_cfg: KeyframeConfig,
     bm_cfg: BlockMapConfig,
+    solve_fn=None,
 ):
-    """One keyframe-odometry frame in ONE device dispatch.
+    """One keyframe-odometry frame (shared body of the plain and
+    DNN-filtered fused steps).
 
     Predicts the warm start (constant velocity: previous keyframe-relative
     pose composed with the previous frame delta), registers against the
     keyframe model, derives the frame delta, applies the divergence guard to
     the DELTA (falling back to the prediction), folds the scan into the
     active map block, and decides whether a new keyframe must be spawned.
+
+    ``solve_fn(model, scan0)`` overrides the residual-frame registration
+    (the DNN step substitutes the filtered solve).
 
     Returns ``(res, X_rel, delta, diverged, spawn, n_corr, new_bm)``.
     """
@@ -285,9 +289,13 @@ def keyframe_step_jit(
         transform_points(scan, x0),
         0.0,
     )
-    res = register(
-        model, scan0, jnp.zeros(6, scan.dtype), cfg, want_static_mask=False
-    )
+    if solve_fn is None:
+        res = register(
+            model, scan0, jnp.zeros(6, scan.dtype), cfg,
+            want_static_mask=False,
+        )
+    else:
+        res = solve_fn(model, scan0)
     X_total = compose_states(res.X, x0)
     # Exact covariance propagation to the composed state.
     J = jax.jacfwd(lambda d: compose_states(d, x0))(res.X)
@@ -318,6 +326,63 @@ def keyframe_step_jit(
         bm, scan, X, key, bm_cfg, cfg.min_range, enabled=~spawn
     )
     return res, X, delta, diverged, spawn, n_corr, new_bm
+
+
+@functools.partial(jax.jit, static_argnums=(7, 8, 9), donate_argnums=(1,))
+def keyframe_step_jit(
+    model: VoxelModel,
+    bm: BlockMap,
+    scan: jax.Array,
+    x_prev_rel: jax.Array,
+    delta_prev: jax.Array,
+    key: jax.Array,
+    n_corr0: jax.Array,
+    cfg: ICETConfig,
+    kf_cfg: KeyframeConfig,
+    bm_cfg: BlockMapConfig,
+):
+    """One keyframe-odometry frame in ONE device dispatch (see
+    :func:`_keyframe_step_impl`)."""
+    return _keyframe_step_impl(
+        model, bm, scan, x_prev_rel, delta_prev, key, n_corr0,
+        cfg, kf_cfg, bm_cfg,
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(8, 9, 10, 11), donate_argnums=(1,))
+def keyframe_step_dnn_jit(
+    model: VoxelModel,
+    bm: BlockMap,
+    scan: jax.Array,
+    key_scan: jax.Array,
+    x_prev_rel: jax.Array,
+    delta_prev: jax.Array,
+    key: jax.Array,
+    n_corr0: jax.Array,
+    cfg: ICETConfig,
+    kf_cfg: KeyframeConfig,
+    bm_cfg: BlockMapConfig,
+    bias_net=None,
+    params=None,
+):
+    """DNN-filtered fused keyframe step: the residual-frame registration
+    runs with the perspective-shift rejection engaged, sampling the
+    KEYFRAME's raw points (``key_scan``) per voxel — the keyframe regime is
+    where perspective shift is largest (baselines of metres vs the
+    frame-to-frame centimetres)."""
+    from icet_tpu.filters import register_with_dnn
+
+    def solve_fn(m, scan0):
+        res, _filt = register_with_dnn(
+            m, key_scan, scan0, jnp.zeros(6, scan.dtype), cfg,
+            bias_net, params, want_static_mask=False,
+        )
+        return res
+
+    return _keyframe_step_impl(
+        model, bm, scan, x_prev_rel, delta_prev, key, n_corr0,
+        cfg, kf_cfg, bm_cfg, solve_fn=solve_fn,
+    )
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5), donate_argnums=(0,))
@@ -395,10 +460,18 @@ class KeyframeOdometry:
         self.kf_cfg = kf_cfg or KeyframeConfig()
         self.bm_cfg = bm_cfg or BlockMapConfig()
         self._key = jax.random.PRNGKey(seed)
+        # cfg.dnn_filter engages the perspective-shift rejection in every
+        # solve, sampling the keyframe scan's points per voxel.
+        self._dnn = None
+        if self.cfg.dnn_filter:
+            from icet_tpu.filters import pretrained_dnn
+
+            self._dnn = pretrained_dnn(self.cfg)
         self.reset()
 
     def reset(self) -> None:
         self._model = None
+        self._key_scan = None
         self.blockmap = blockmap_init(self.bm_cfg)
         self._T_key = np.eye(4)
         self._x_rel = jnp.zeros(6, jnp.float32)
@@ -417,6 +490,7 @@ class KeyframeOdometry:
             self.cfg, self.bm_cfg,
         )
         self._T_key = T_world
+        self._key_scan = scan_dev if self._dnn is not None else None
         self._x_rel = jnp.zeros(6, jnp.float32)
         self._n_corr0 = None  # set by the first solve against this keyframe
         self.keyframe_states.append(state)
@@ -435,20 +509,40 @@ class KeyframeOdometry:
             if self._n_corr0 is not None
             else jnp.zeros((), jnp.int32)  # fresh keyframe: fraction test off
         )
-        res, x_rel, delta, diverged, spawn, n_corr, self.blockmap = (
-            keyframe_step_jit(
-                self._model,
-                self.blockmap,
-                scan_dev,
-                self._x_rel,
-                self._delta,
-                sub,
-                n_corr0,
-                self.cfg,
-                self.kf_cfg,
-                self.bm_cfg,
+        if self._dnn is not None:
+            net, params = self._dnn
+            res, x_rel, delta, diverged, spawn, n_corr, self.blockmap = (
+                keyframe_step_dnn_jit(
+                    self._model,
+                    self.blockmap,
+                    scan_dev,
+                    self._key_scan,
+                    self._x_rel,
+                    self._delta,
+                    sub,
+                    n_corr0,
+                    self.cfg,
+                    self.kf_cfg,
+                    self.bm_cfg,
+                    net,
+                    params,
+                )
             )
-        )
+        else:
+            res, x_rel, delta, diverged, spawn, n_corr, self.blockmap = (
+                keyframe_step_jit(
+                    self._model,
+                    self.blockmap,
+                    scan_dev,
+                    self._x_rel,
+                    self._delta,
+                    sub,
+                    n_corr0,
+                    self.cfg,
+                    self.kf_cfg,
+                    self.bm_cfg,
+                )
+            )
         if self._n_corr0 is None:
             self._n_corr0 = n_corr
         X_rel = np.asarray(x_rel)

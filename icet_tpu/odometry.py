@@ -69,10 +69,19 @@ class OdometryPipeline:
     ):
         self.cfg = cfg or ICETConfig()
         self.odo_cfg = odo_cfg or OdometryConfig()
+        # cfg.dnn_filter engages the perspective-shift rejection inside
+        # every registration (reference DNN_filter ctor flag); the bundled
+        # pretrained bias net loads once here.
+        self._dnn = None
+        if self.cfg.dnn_filter:
+            from icet_tpu.filters import pretrained_dnn
+
+            self._dnn = pretrained_dnn(self.cfg)
         self.reset()
 
     def reset(self) -> None:
         self._model = None
+        self._scan_prev = None
         self._X_prev = jnp.zeros(6, jnp.float32)
         self._T_world = jnp.eye(4, dtype=jnp.float32)
         self._index = 0
@@ -119,19 +128,21 @@ class OdometryPipeline:
         self.recoveries += 1
         self._X_prev = jax.device_put(self._X_host, dev)
         self._T_world = jax.device_put(self._T_host, dev)
-        self._model = (
-            prepare_reference_jit(
-                jax.device_put(self._last_scan, dev), self.cfg
-            )
-            if self._last_scan is not None
-            else None
-        )
+        if self._last_scan is not None:
+            scan_dev = jax.device_put(self._last_scan, dev)
+            self._model = prepare_reference_jit(scan_dev, self.cfg)
+            if self._dnn is not None:
+                self._scan_prev = scan_dev
+        else:
+            self._model = None
+            self._scan_prev = None
 
     def _step_device(self, scan: np.ndarray) -> OdometryFrame | None:
         t0 = time.perf_counter()
         scan_dev = jnp.asarray(scan, jnp.float32)
         if self._model is None:
             self._model = prepare_reference_jit(scan_dev, self.cfg)
+            self._scan_prev = scan_dev if self._dnn is not None else None
             self._index += 1
             return None
 
@@ -141,7 +152,19 @@ class OdometryPipeline:
             else jnp.zeros(6, jnp.float32)
         )
         # Fused register + next-frame prepare: one dispatch per frame.
-        res, next_model = odometry_step_jit(self._model, scan_dev, x0, self.cfg)
+        if self._dnn is not None:
+            from icet_tpu.filters import odometry_step_dnn_jit
+
+            net, params = self._dnn
+            res, next_model = odometry_step_dnn_jit(
+                self._model, self._scan_prev, scan_dev, x0, self.cfg,
+                net, params,
+            )
+            self._scan_prev = scan_dev
+        else:
+            res, next_model = odometry_step_jit(
+                self._model, scan_dev, x0, self.cfg
+            )
         X = res.X
 
         # Divergence guard (reference simpleMapMaker.cpp:129-137): a solution
