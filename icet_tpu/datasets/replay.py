@@ -270,7 +270,8 @@ class CityDriveSource:
             if self.range_bias_std > 0.0:
                 r = np.linalg.norm(scan, axis=1, keepdims=True)
                 bias = rng.normal(0.0, self.range_bias_std)
-                scan = np.where(r > 1e-6, scan * (r + bias) / r, scan)
+                scale = (r + bias) / np.maximum(r, 1e-6)
+                scan = np.where(r > 1e-6, scan * scale, scan)
                 scan = scan.astype(np.float32)
             if self.dropout_frac > 0.0:
                 # Zero a contiguous azimuth sector (scan layout is

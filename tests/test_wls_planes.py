@@ -99,3 +99,33 @@ def test_eigh3_planes_matches_eigh_small(rng):
     # Eigenvectors up to sign: compare |dot| of matching columns.
     dots = np.abs(np.einsum("vik,vik->vk", np.asarray(V_p), np.asarray(V_s)))
     assert (dots > 0.999).mean() > 0.98  # allow rare degenerate pairs
+
+
+def test_eigh3_planes_safeguard_rescues_short_schedule(rng):
+    """The measured safeguard (extra sweeps only while any lane carries
+    off-diagonal mass) must rescue a deliberately short base schedule —
+     1 base sweep is far from converged on ill-conditioned batches, so the
+    while_loop must fire and still land on the true decomposition."""
+    from icet_tpu.ops.wls_planes import eigh3_planes
+
+    B = rng.normal(size=(64, 3, 3)).astype(np.float32)
+    A = (B @ np.swapaxes(B, -1, -2)).astype(np.float32)
+    # Ill-condition some lanes: stretch one axis by 1e4.
+    A[::4, 0, 0] *= 1e4
+
+    # ZERO base sweeps: with the safeguard off this returns the identity
+    # basis / raw diagonal (the negative control); with it on, the
+    # while_loop alone must drive the decomposition to convergence.
+    w1, V1 = eigh3_planes(jnp.asarray(A), sweeps=0, safeguard=True,
+                          max_extra=6)
+    recon = np.einsum("vik,vk,vjk->vij", np.asarray(V1), np.asarray(w1),
+                      np.asarray(V1))
+    rel = np.abs(recon - A) / np.abs(A).max(axis=(1, 2), keepdims=True)
+    assert rel.max() < 2e-3, rel.max()
+
+    w_off, V_off = eigh3_planes(jnp.asarray(A), sweeps=0, safeguard=False)
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(V_off), axis=None),
+        np.sort(np.broadcast_to(np.eye(3, dtype=np.float32), A.shape),
+                axis=None),
+    )
