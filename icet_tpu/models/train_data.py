@@ -39,12 +39,67 @@ def _voxel_samples(points, model, cfg, n_samples):
     return sample_voxel_points(points, vid, member, cfg.n_voxels, n_samples)
 
 
+def training_scene(rng) -> "Scene":
+    """A randomized scene for bias-net training, drawn from a zoo that
+    includes the geometry the filter must see through:
+
+    - plain box fields (the original regime);
+    - picket fences before a far wall — the coherent occlusion-shadow
+      case: between-pillar wall patches slide at the occlusion lever
+      ratio, so a net trained only on full-support voxels would report
+      the slide as motion (tests/test_dnn_filter.py measures exactly this
+      scenario at solve level);
+    - near-wall corridors (large baseline / close structure).
+    """
+    from icet_tpu.datasets.synthetic import Scene
+
+    kind = rng.integers(0, 3)
+    if kind == 0:  # box field
+        boxes = []
+        for _ in range(rng.integers(6, 14)):
+            cx, cy = rng.uniform(-18, 18, 2)
+            if abs(cx) < 2.5 and abs(cy) < 2.5:
+                continue
+            w, d, h = rng.uniform(0.8, 3.5, 3)
+            boxes.append((cx - w / 2, cx + w / 2, cy - d / 2, cy + d / 2,
+                          -2.0, -2.0 + 2 * h))
+        return Scene(boxes=tuple(boxes))
+    if kind == 1:  # picket fence + far wall
+        fx = rng.uniform(5.0, 10.0)
+        wall = rng.uniform(30.0, 70.0)
+        pitch = rng.uniform(1.0, 2.5)
+        half_w = rng.uniform(0.15, 0.4)
+        pillars = tuple(
+            (fx - 0.2, fx + 0.2, y - half_w, y + half_w, -2.0, 5.0)
+            for y in np.arange(-14.0, 14.01, pitch)
+        )
+        extra = ((-6.0, -4.0, -6.0, -4.0, -2.0, 2.0),
+                 (-10.0, -8.0, 5.0, 7.0, -2.0, 3.0))
+        return Scene(
+            walls=((0, wall, -1), (0, -30.0, 1), (1, 25.0, -1),
+                   (1, -25.0, 1)),
+            boxes=pillars + extra,
+        )
+    # near-wall corridor
+    wy = rng.uniform(1.5, 3.5)
+    return Scene(
+        walls=((1, wy, -1), (1, -rng.uniform(3.0, 25.0), 1),
+               (0, 30.0, -1), (0, -30.0, 1)),
+        boxes=(
+            (6.0, 8.0, -8.0, -6.0, -2.0, 3.0),
+            (-9.0, -7.0, -7.0, -5.0, -2.0, 2.0),
+            (12.0, 14.0, -12.0, -10.0, -2.0, 4.0),
+        ),
+    )
+
+
 def make_raycast_voxel_pairs(
     n_pairs: int = 6,
     samples_per_voxel: int = 100,
     min_pts: int = 30,
     seed: int = 0,
     cfg: ICETConfig | None = None,
+    scene_zoo: bool = True,
 ):
     """Build (sample1, sample2) voxel pairs with REAL perspective shift.
 
@@ -52,6 +107,10 @@ def make_raycast_voxel_pairs(
     samples drawn from two different sensor poses of the same scene.  Any
     residual translation between them is ~0 (alignment uses the exact ground
     truth), so callers inject their own regression targets.
+
+    ``scene_zoo=True`` draws each pair's scene from :func:`training_scene`
+    (box fields, occlusion fences, near-wall corridors); False keeps the
+    original default-scene-only behavior.
     """
     from icet_tpu.solver import prepare_reference_jit
 
@@ -65,7 +124,10 @@ def make_raycast_voxel_pairs(
         X_true = np.concatenate(
             [rng.uniform(-0.5, 0.5, 3), rng.uniform(-0.02, 0.02, 3)]
         ).astype(np.float32)
-        scan1, scan2 = scan_pair_with_ground_truth(X_true, seed=seed + 17 * k)
+        scene = training_scene(rng) if scene_zoo else None
+        scan1, scan2 = scan_pair_with_ground_truth(
+            X_true, scene=scene, seed=seed + 17 * k
+        )
         s1d = jnp.asarray(scan1)
         s2d = transform_points(jnp.asarray(scan2), jnp.asarray(X_true))
         model = prepare_reference_jit(s1d, cfg)
