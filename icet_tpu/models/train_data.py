@@ -53,7 +53,9 @@ def training_scene(rng) -> "Scene":
     """
     from icet_tpu.datasets.synthetic import Scene
 
-    kind = rng.integers(0, 3)
+    kind = rng.integers(0, 4)
+    if kind == 3:  # the original default scene (keeps the old regime mixed in)
+        return Scene()
     if kind == 0:  # box field
         boxes = []
         for _ in range(rng.integers(6, 14)):
