@@ -169,6 +169,43 @@ def test_dynamic_citydrive_refinement_matters():
     assert ate_ref < 0.7 * ate_odo, (ate_ref, ate_odo)
 
 
+def test_citydrive_dynamics_knobs():
+    """Unit checks on the non-benign knobs: cars actually circulate, the
+    dropout sector removes exactly its share of returns, range bias scales
+    ranges by a common-mode offset while directions are preserved."""
+    from icet_tpu.datasets.replay import CityDriveSource
+    from icet_tpu.datasets.synthetic import Scene
+
+    base = dict(n_frames=3, speed=1.0, scene=Scene(), rect=(-24, 24, -19, 19),
+                n_beams=16, n_azimuth=128)
+
+    # Moving cars: frame scenes grow by `moving_cars` boxes, and they move.
+    src = CityDriveSource(moving_cars=2, **base)
+    b0 = src._frame_scene(0).boxes[-2:]
+    b2 = src._frame_scene(2).boxes[-2:]
+    assert len(src._frame_scene(0).boxes) == len(Scene().boxes) + 2
+    moved = np.abs(np.asarray(b2) - np.asarray(b0)).max()
+    assert moved > 1.0, moved  # 1.6x speed over 2 frames
+
+    # Dropout: exactly width*n_beams returns vanish vs the clean scan.
+    clean = next(iter(CityDriveSource(**base)))[0]
+    dropped = next(iter(CityDriveSource(dropout_frac=0.25, **base)))[0]
+    n_clean = int(np.any(clean != 0, 1).sum())
+    n_drop = int(np.any(dropped != 0, 1).sum())
+    assert n_clean - n_drop == int(0.25 * 128) * 16
+
+    # Range bias: nonzero returns scale along their own ray.
+    biased = next(iter(CityDriveSource(range_bias_std=0.5, **base)))[0]
+    nz = np.any(clean != 0, 1) & np.any(biased != 0, 1)
+    r_c = np.linalg.norm(clean[nz], axis=1)
+    r_b = np.linalg.norm(biased[nz], axis=1)
+    d = r_b - r_c
+    assert np.abs(d - d.mean()).max() < 1e-3  # common-mode per frame
+    assert np.abs(d.mean()) > 1e-3  # and actually nonzero at this sigma
+    cos = np.sum(clean[nz] * biased[nz], axis=1) / (r_c * r_b)
+    assert cos.min() > 0.999999  # directions preserved
+
+
 def test_citydrive_pose_math():
     """CityDriveSource.pose: continuous, on-circuit, heading = path tangent."""
     from icet_tpu.datasets.replay import CityDriveSource
