@@ -226,6 +226,11 @@ def _run_oracle(args, scans, ref) -> dict:
                 [float(v) for v in r.stdout.split("X:")[1].split("\n")[0].split()],
                 np.float32,
             )
+            # Same divergence guard our own pipeline gets (the reference's
+            # mapping node has the identical clamp, simpleMapMaker.cpp:
+            # 129-137) — without it one blown frame dominates the ATE.
+            if np.any(np.abs(X) > args.clamp):
+                X = np.zeros(6, np.float32)
             T_rel = np.asarray(pose_matrix(jnp.asarray(X)))
             poses.append(poses[-1] @ T_rel)
     wall = time.perf_counter() - t0
