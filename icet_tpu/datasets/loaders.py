@@ -121,8 +121,13 @@ def load_csv(
     if raw.ndim == 1:
         raw = raw[None, :]
     if fmt == "auto" and raw.shape[1] >= 11:
-        return pad_cloud(raw[:, 8:11] / 1000.0, max_points)
-    return pad_cloud(raw[:, :3], max_points)
+        xyz = raw[:, 8:11] / 1000.0
+    else:
+        xyz = raw[:, :3]
+    # Header lines parse as all-NaN rows — drop them (the reference's
+    # ouster branch hardcodes a 2-row skip, utils.cpp:22-26; sniffing
+    # non-numeric rows generalizes it and matches the native loader).
+    return pad_cloud(xyz[np.isfinite(xyz).all(axis=1)], max_points)
 
 
 def load_ply(path: str, max_points: int = DEFAULT_MAX_POINTS) -> np.ndarray:

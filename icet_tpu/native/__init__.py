@@ -75,10 +75,13 @@ class NativeReplaySource:
         self.paths = sorted(
             p
             for p in glob.glob(pattern)
-            if os.path.isfile(p) and os.path.splitext(p)[1] in (".npy", ".bin")
+            if os.path.isfile(p)
+            and os.path.splitext(p)[1] in (".npy", ".bin", ".csv", ".txt")
         )
         if not self.paths:
-            raise FileNotFoundError(f"no .npy/.bin files match {pattern}")
+            raise FileNotFoundError(
+                f"no .npy/.bin/.csv/.txt files match {pattern}"
+            )
         self._native = native
         self._args = dict(
             paths=self.paths,

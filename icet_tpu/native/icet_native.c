@@ -137,6 +137,58 @@ static long load_bin_into(const char *path, float *out, long max_points,
   return take;
 }
 
+/* Delimited-text clouds — the role the reference fills with the vendored
+ * 8486-line csv.hpp (utils.cpp:12-91): comma/space/tab separated numeric
+ * rows; non-numeric lines (headers) are skipped.  Rows with >= 11 fields
+ * are Ouster studio exports (XYZ in millimetres in columns 8-10, matching
+ * loadPointCloudCSV's "ouster" branch); shorter rows are generic xyz.
+ * Mode is sniffed from the first numeric row, like the python loader. */
+static long load_csv_into(const char *path, float *out, long max_points,
+                          char *errmsg, size_t errlen) {
+  FILE *f = fopen(path, "r");
+  if (!f) {
+    snprintf(errmsg, errlen, "cannot open %s: %s", path, strerror(errno));
+    return -1;
+  }
+  char line[8192];
+  long take = 0;
+  int mode = 0; /* 0 = undecided, 1 = xyz, 2 = ouster cols 8-10 mm */
+  while (take < max_points && fgets(line, sizeof line, f)) {
+    double vals[16];
+    int n = 0;
+    const char *p = line;
+    while (n < 16) {
+      while (*p == ',' || *p == ' ' || *p == '\t') p++;
+      if (*p == '\0' || *p == '\n' || *p == '\r') break;
+      char *end;
+      double v = strtod(p, &end);
+      if (end == p) { n = -1; break; } /* non-numeric field: header line */
+      vals[n++] = v;
+      p = end;
+    }
+    if (n < 3) continue;
+    if (mode == 0) mode = (n >= 11) ? 2 : 1;
+    if (mode == 2) {
+      if (n < 11) continue;
+      out[take * 3 + 0] = (float)(vals[8] / 1000.0);
+      out[take * 3 + 1] = (float)(vals[9] / 1000.0);
+      out[take * 3 + 2] = (float)(vals[10] / 1000.0);
+    } else {
+      out[take * 3 + 0] = (float)vals[0];
+      out[take * 3 + 1] = (float)vals[1];
+      out[take * 3 + 2] = (float)vals[2];
+    }
+    take++;
+  }
+  memset(out + take * 3, 0, sizeof(float) * (size_t)(max_points - take) * 3);
+  fclose(f);
+  if (take == 0) {
+    snprintf(errmsg, errlen, "%s: no numeric rows", path);
+    return -1;
+  }
+  return take;
+}
+
 static long load_any_into(const char *path, float *out, long max_points,
                           char *errmsg, size_t errlen) {
   size_t len = strlen(path);
@@ -144,7 +196,11 @@ static long load_any_into(const char *path, float *out, long max_points,
     return load_npy_into(path, out, max_points, errmsg, errlen);
   if (len > 4 && strcmp(path + len - 4, ".bin") == 0)
     return load_bin_into(path, out, max_points, errmsg, errlen);
-  snprintf(errmsg, errlen, "%s: native loader handles .npy/.bin", path);
+  if (len > 4 && (strcmp(path + len - 4, ".csv") == 0 ||
+                  strcmp(path + len - 4, ".txt") == 0))
+    return load_csv_into(path, out, max_points, errmsg, errlen);
+  snprintf(errmsg, errlen, "%s: native loader handles .npy/.bin/.csv/.txt",
+           path);
   return -1;
 }
 

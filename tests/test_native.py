@@ -102,3 +102,53 @@ def test_prefetcher_feeds_solver(tmp_path):
     frames = list(OdometryPipeline(cfg).run(src))
     assert len(frames) == 2
     assert all(np.isfinite(f.X).all() for f in frames)
+
+
+def test_load_csv_ouster_matches_python(tmp_path, rng):
+    """Native CSV loader: Ouster studio export sniffing (>=11 numeric
+    columns -> XYZ mm in columns 8-10), headers skipped, matches the
+    python loader byte-for-byte."""
+    from icet_tpu.datasets.loaders import load_csv
+
+    n = 50
+    data = rng.normal(0, 1000.0, (n, 12))
+    p = tmp_path / "ouster.csv"
+    with open(p, "w") as f:
+        f.write("Timestamp,a,b,c,d,e,f,g,X(mm),Y(mm),Z(mm),Signal\n")
+        f.write("units,,,,,,,,mm,mm,mm,\n")
+        for row in data:
+            f.write(",".join(f"{v:.4f}" for v in row) + "\n")
+    arr, got = native.load_cloud(str(p), 64)
+    assert got == n
+    ref = load_csv(str(p), 64)
+    np.testing.assert_allclose(arr, ref, atol=1e-6)
+    np.testing.assert_allclose(
+        arr[:n], (data[:, 8:11] / 1000.0).astype(np.float32), atol=1e-6
+    )
+
+
+def test_load_txt_xyz_matches_python(tmp_path, rng):
+    from icet_tpu.datasets.loaders import load_csv
+
+    pts = rng.normal(size=(33, 3))
+    p = tmp_path / "cloud.txt"
+    with open(p, "w") as f:
+        for row in pts:
+            f.write("\t".join(f"{v:.6f}" for v in row) + "\n")
+    arr, got = native.load_cloud(str(p), 64)
+    assert got == 33
+    np.testing.assert_allclose(arr, load_csv(str(p), 64), atol=1e-6)
+
+
+def test_csv_prefetcher_roundtrip(tmp_path, rng):
+    seqs = []
+    for i in range(4):
+        pts = rng.normal(size=(20 + i, 3))
+        p = tmp_path / f"{i:03d}.txt"
+        with open(p, "w") as f:
+            for row in pts:
+                f.write(" ".join(str(v) for v in row) + "\n")
+        seqs.append(pts.astype(np.float32))
+    src = NativeReplaySource(str(tmp_path), max_points=32)
+    for scan, ref in zip(src, seqs):
+        np.testing.assert_allclose(scan[: ref.shape[0]], ref, atol=1e-6)
