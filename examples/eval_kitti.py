@@ -91,6 +91,13 @@ def run(args) -> dict:
     if args.phi_band is not None:
         grid = dict(phi_min=np.pi / 2 - args.phi_band,
                     phi_max=np.pi / 2 + args.phi_band)
+    if args.oracle and not (os.path.isfile(args.oracle)
+                            and os.access(args.oracle, os.X_OK)):
+        # Fail BEFORE the (long) odometry pass, not after it.
+        raise SystemExit(
+            f"--oracle {args.oracle!r} is not an executable; build it with "
+            "sh tools/oracle/build_oracle.sh"
+        )
     cfg = ICETConfig(n_iters=args.n_iters, min_range=args.min_range,
                      n_theta=args.n_theta, n_phi=args.n_phi,
                      min_pts=args.min_pts, convergence_tol=1e-4, **grid)
@@ -215,17 +222,33 @@ def _run_oracle(args, scans, ref) -> dict:
             p = os.path.join(td, f"{i:06d}.bin")
             pts.tofile(p)
             paths.append(p)
+        failed = 0
         for a, b in zip(paths[:-1], paths[1:]):
-            r = subprocess.run(
-                [args.oracle, a, b, str(args.n_iters), str(args.n_phi),
-                 str(args.n_theta), str(args.min_pts),
-                 str(args.oracle_thresh), str(args.oracle_buff)],
-                capture_output=True, text=True, timeout=600,
-            )
-            X = np.array(
-                [float(v) for v in r.stdout.split("X:")[1].split("\n")[0].split()],
-                np.float32,
-            )
+            try:
+                r = subprocess.run(
+                    [args.oracle, a, b, str(args.n_iters), str(args.n_phi),
+                     str(args.n_theta), str(args.min_pts),
+                     str(args.oracle_thresh), str(args.oracle_buff)],
+                    capture_output=True, text=True, timeout=600,
+                )
+            except (subprocess.TimeoutExpired, OSError):
+                r = None
+            X = None
+            if r is not None and r.returncode == 0 and "X:" in r.stdout:
+                try:
+                    X = np.array(
+                        [float(v) for v in
+                         r.stdout.split("X:")[1].split("\n")[0].split()],
+                        np.float32,
+                    )
+                except ValueError:
+                    X = None
+            if X is None or X.shape != (6,) or not np.isfinite(X).all():
+                # One crashed/hung oracle pair must not lose the whole run:
+                # treat it like a clamped divergence (identity step) and
+                # count it.
+                failed += 1
+                X = np.zeros(6, np.float32)
             # Same divergence guard our own pipeline gets (the reference's
             # mapping node has the identical clamp, simpleMapMaker.cpp:
             # 129-137) — without it one blown frame dominates the ATE.
@@ -235,7 +258,8 @@ def _run_oracle(args, scans, ref) -> dict:
             poses.append(poses[-1] @ T_rel)
     wall = time.perf_counter() - t0
     out = {
-        "ms_per_frame_wall": round(wall / max(len(poses) - 1, 1) * 1000, 1)
+        "ms_per_frame_wall": round(wall / max(len(poses) - 1, 1) * 1000, 1),
+        "failed_pairs": failed,
     }
     if ref is not None:
         from icet_tpu.utils.metrics import ate_rmse, rpe

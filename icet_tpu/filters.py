@@ -211,14 +211,20 @@ def register_with_dnn(
     # to n_iters - 1 so pre + post == n_iters.  With n_iters == 1 there is
     # no budget for a filtered phase — solve once, report the mask.
     if cfg.n_iters < 2:
-        pre = register(model, scan2, x0, cfg.replace(n_iters=1))
+        pre = register(model, scan2, x0, cfg.replace(n_iters=1),
+                       want_static_mask=want_static_mask)
         aligned = transform_points(scan2, pre.X)
         filt = dnn_reject_mask(bias_net, params, model, scan1, aligned, cfg)
         return pre, filt
     n_pre = max(min(cfg.dnn_start_iter, cfg.n_iters - 1), 1)
     n_post = cfg.n_iters - n_pre
 
-    pre = register(model, scan2, x0, cfg.replace(n_iters=n_pre))
+    # Phase boundaries carry the GLOBAL iteration index via it_offset so
+    # iteration-indexed schedules (moving-object rejection at
+    # rm_start_iter) keep running through the filtered phase — a phase
+    # restart at it=0 would silently deactivate them.
+    pre = register(model, scan2, x0, cfg.replace(n_iters=n_pre),
+                   want_static_mask=False)
 
     if not cfg.dnn_in_loop:
         aligned = transform_points(scan2, pre.X)
@@ -226,37 +232,33 @@ def register_with_dnn(
         post = register(
             model, scan2, pre.X, cfg.replace(n_iters=n_post),
             corr_mask=filt.keep, want_static_mask=want_static_mask,
+            it_offset=n_pre,
         )
         return post, filt
 
     step_cfg = cfg.replace(n_iters=1, convergence_tol=0.0)
 
-    def body(X, _):
+    def body(X, k):
         aligned = transform_points(scan2, X)
         filt = dnn_reject_mask(bias_net, params, model, scan1, aligned, cfg)
         res = register(model, scan2, X, step_cfg, corr_mask=filt.keep,
-                       want_static_mask=False)
-        return res.X, (res, filt)
+                       want_static_mask=False, it_offset=n_pre + k)
+        return res.X, None
 
-    _, (steps, filts) = jax.lax.scan(body, pre.X, None, length=n_post)
-    # The last scanned step carries the converged estimate, covariance and
-    # final mask; its scalar/row slices are the step's own outputs.
-    last = jax.tree_util.tree_map(lambda v: v[-1], (steps, filts))
-    res_last, filt_last = last
-    if want_static_mask:
-        # Recover the full-solve static mask at the final X under the final
-        # reject mask (the scanned steps skip it — see want_static_mask).
-        raw_ok = jnp.linalg.norm(scan2, axis=-1) >= cfg.min_range
-        p2 = transform_points(scan2, res_last.X)
-        rtp2 = cart_to_spherical(p2)
-        vid2 = voxel_ids(rtp2, cfg)
-        member2 = membership(
-            vid2, rtp2[..., 0], raw_ok, model.bounds, cfg.n_voxels
-        )
-        vsafe = jnp.where(member2, vid2, cfg.n_voxels)
-        static_mask = member2 & filt_last.keep[vsafe]
-        res_last = res_last._replace(static_mask=static_mask)
-    return res_last, filt_last
+    X_mid = pre.X
+    if n_post > 1:
+        X_mid, _ = jax.lax.scan(body, pre.X, jnp.arange(n_post - 1))
+    # Final filtered iteration UNROLLED as a full register call: its result
+    # carries the converged estimate, covariance, and — when requested —
+    # the solver's own static mask (correspondences ∧ moving-object keep ∧
+    # this mask), identical semantics to the one-shot mode's last phase.
+    aligned = transform_points(scan2, X_mid)
+    filt = dnn_reject_mask(bias_net, params, model, scan1, aligned, cfg)
+    res = register(
+        model, scan2, X_mid, step_cfg, corr_mask=filt.keep,
+        want_static_mask=want_static_mask, it_offset=cfg.n_iters - 1,
+    )
+    return res, filt
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4))

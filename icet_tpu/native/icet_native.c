@@ -24,6 +24,7 @@
 #include <pthread.h>
 #include <stdint.h>
 #include <stdio.h>
+#include <math.h>
 #include <stdlib.h>
 #include <string.h>
 
@@ -168,16 +169,24 @@ static long load_csv_into(const char *path, float *out, long max_points,
     }
     if (n < 3) continue;
     if (mode == 0) mode = (n >= 11) ? 2 : 1;
+    double x, y, z;
     if (mode == 2) {
       if (n < 11) continue;
-      out[take * 3 + 0] = (float)(vals[8] / 1000.0);
-      out[take * 3 + 1] = (float)(vals[9] / 1000.0);
-      out[take * 3 + 2] = (float)(vals[10] / 1000.0);
+      x = vals[8] / 1000.0;
+      y = vals[9] / 1000.0;
+      z = vals[10] / 1000.0;
     } else {
-      out[take * 3 + 0] = (float)vals[0];
-      out[take * 3 + 1] = (float)vals[1];
-      out[take * 3 + 2] = (float)vals[2];
+      x = vals[0];
+      y = vals[1];
+      z = vals[2];
     }
+    /* strtod accepts "nan"/"inf" (no-return points in some exports); drop
+     * such rows like the python loader does — a NaN coordinate would
+     * silently poison the whole moment accumulation downstream. */
+    if (!isfinite(x) || !isfinite(y) || !isfinite(z)) continue;
+    out[take * 3 + 0] = (float)x;
+    out[take * 3 + 1] = (float)y;
+    out[take * 3 + 2] = (float)z;
     take++;
   }
   memset(out + take * 3, 0, sizeof(float) * (size_t)(max_points - take) * 3);

@@ -477,6 +477,7 @@ def register(
     axis_name: str | None = None,
     corr_mask: jax.Array | None = None,
     want_static_mask: bool = True,
+    it_offset=0,
 ) -> RegistrationResult:
     """Solve for the 6-DOF transform aligning scan 2 to the voxel model.
 
@@ -487,18 +488,28 @@ def register(
     ``want_static_mask=False`` skips the final cloud2_static pass (an extra
     transform + rebin + per-point table gather) and returns an empty (0,)
     mask — the odometry hot path doesn't consume it.
+
+    ``it_offset`` is the GLOBAL index of this call's first iteration, for
+    callers that split one logical solve into phases (the DNN filter runs
+    dnn_start_iter plain iterations then per-iteration filtered steps):
+    iteration-indexed schedules — moving-object rejection's
+    ``it >= rm_start_iter`` — see the global index, so a phase restart
+    cannot silently deactivate them.  May be a traced scalar when the
+    early-exit while_loop is not in play (n_iters == 1 phases).
     """
     # Iteration 0 is unrolled: it runs the cold eigendecomposition and seeds
     # the warm eigenbasis carried through the scanned remaining iterations
     # (keeping the cold/warm branch out of the scan body).
     X1, w0, keep0, corr0, U2_0, diag0 = _iteration(
-        model, scan2, x0.astype(scan2.dtype), 0, cfg, axis_name, corr_mask, None
+        model, scan2, x0.astype(scan2.dtype), it_offset, cfg, axis_name,
+        corr_mask, None
     )
 
     def body(carry, it):
         X, _, _, _, U2_warm = carry
         X_new, w6, keep, corr, U2, diag = _iteration(
-            model, scan2, X, it, cfg, axis_name, corr_mask, U2_warm
+            model, scan2, X, it + it_offset, cfg, axis_name, corr_mask,
+            U2_warm
         )
         return (X_new, w6, keep, corr, U2), diag
 
@@ -516,7 +527,13 @@ def register(
         # exiting earlier would silently skip it on exactly the easy
         # (fast-converging) frames where a moving vehicle biases the lock.
         # Force at least one post-activation iteration when it's enabled.
-        min_it = min(cfg.rm_start_iter + 1, n_it) if cfg.remove_moving else 1
+        # (it_offset must be concrete here — the while_loop path is only
+        # reachable with n_iters > 1 phases, which phase-splitting callers
+        # never combine with a traced offset.)
+        if cfg.remove_moving:
+            min_it = min(max(cfg.rm_start_iter + 1 - int(it_offset), 1), n_it)
+        else:
+            min_it = 1
 
         diag_buf = jax.tree_util.tree_map(
             lambda v: jnp.zeros((n_it,) + v.shape, v.dtype).at[0].set(v),
@@ -530,7 +547,8 @@ def register(
         def w_body(carry):
             it, (X, _, _, _, U2_warm), diags, _ = carry
             X_new, w6, keep, corr, U2, d = _iteration(
-                model, scan2, X, it, cfg, axis_name, corr_mask, U2_warm
+                model, scan2, X, it + it_offset, cfg, axis_name, corr_mask,
+                U2_warm
             )
             diags = jax.tree_util.tree_map(
                 lambda buf, v: buf.at[it].set(v), diags, d

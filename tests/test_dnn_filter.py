@@ -80,6 +80,31 @@ def test_in_loop_matches_one_shot_on_static_scene():
                                atol=0.01)
 
 
+def test_in_loop_keeps_moving_object_rejection_active():
+    """Phase-split solves carry the GLOBAL iteration index (it_offset), so
+    moving-object rejection stays active through the filtered iterations —
+    a phase restart at it=0 would silently re-admit moving voxels in
+    exactly the iterations that produce the returned X."""
+    net, params = pretrained_dnn(CFG)
+    X_true = np.zeros(6, np.float32)
+    s1, s2 = scan_pair_with_ground_truth(X_true, seed=3)
+    blob_center = np.array([12.0, 3.0, -1.0], np.float32)
+    rng = np.random.default_rng(0)
+    blob = (blob_center + rng.normal(size=(800, 3)) * 0.3).astype(np.float32)
+    s1 = np.concatenate([s1, blob])
+    s2 = np.concatenate([s2, blob + np.array([1.0, 0.0, 0.0], np.float32)])
+    cfg = CFG.replace(remove_moving=True, rm_start_iter=3, dnn_start_iter=5)
+    for in_loop in (True, False):
+        res, _ = register_pair_with_dnn(
+            jnp.asarray(s1), jnp.asarray(s2), jnp.zeros(6),
+            cfg.replace(dnn_in_loop=in_loop), net, params,
+        )
+        rejected = np.asarray(res.diagnostics.n_rejected_moving)
+        # The final (filtered-phase) iteration must still reject the blob.
+        assert rejected[-1] >= 1, (in_loop, rejected)
+        np.testing.assert_allclose(np.asarray(res.X)[:3], 0.0, atol=0.05)
+
+
 @pytest.mark.integration
 def test_fence_occlusion_bias_rejected():
     """The efficacy proof: on the fence scene the filter must beat the

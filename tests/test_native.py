@@ -152,3 +152,20 @@ def test_csv_prefetcher_roundtrip(tmp_path, rng):
     src = NativeReplaySource(str(tmp_path), max_points=32)
     for scan, ref in zip(src, seqs):
         np.testing.assert_allclose(scan[: ref.shape[0]], ref, atol=1e-6)
+
+
+def test_load_csv_skips_nonfinite_rows(tmp_path):
+    """strtod parses 'nan'/'inf'; such no-return rows must be dropped like
+    the python loader does (a NaN point would poison the registration)."""
+    from icet_tpu.datasets.loaders import load_csv
+
+    p = tmp_path / "holes.txt"
+    with open(p, "w") as f:
+        f.write("1.0 2.0 3.0\n")
+        f.write("nan nan nan\n")
+        f.write("4.0 inf 6.0\n")
+        f.write("7.0 8.0 9.0\n")
+    arr, n = native.load_cloud(str(p), 8)
+    assert n == 2
+    np.testing.assert_allclose(arr[:2], [[1, 2, 3], [7, 8, 9]])
+    np.testing.assert_allclose(arr, load_csv(str(p), 8), atol=1e-6)

@@ -24,7 +24,10 @@ import jax, jax.numpy as jnp
 print('PROBE_OK', (jnp.ones((8,8))@jnp.ones((8,8))).sum(), jax.devices()[0].platform)
 " > "$OUT/probe.log" 2>&1 || { echo "tunnel still dead; see $OUT/probe.log"; exit 1; }
 
-timeout 2700 python bench.py                > "$OUT/bench.json"        2> "$OUT/bench.err"
+# bench.py's own orchestrator worst case is 2 probes x 60s + 2 workers x
+# 2400s; the outer timeout must exceed that or it kills the retry mid-way
+# and bench.json loses its guaranteed one-line JSON.
+timeout 5100 python bench.py                > "$OUT/bench.json"        2> "$OUT/bench.err"
 timeout 1800 python tools/bench_prepare.py  > "$OUT/bench_prepare.log" 2>&1
 timeout 1800 python tools/bench_odostep.py  > "$OUT/bench_odostep.log" 2>&1
 timeout 1800 python tools/trace_solve.py    > "$OUT/trace_solve.log"   2>&1
