@@ -90,7 +90,16 @@ def main():
 
         pipe = KeyframeOdometry(
             cfg,
-            KeyframeConfig(spawn_distance=3.0, spawn_angle=0.3,
+            # On corrupted scans the spawn distance dominates keyframe-mode
+            # ATE and its optimum is scale/resolution dependent: at the
+            # flagship scale (399 frames, 64x1024, 75x24 grid) spawn
+            # 1.5/3.0/6.0 m give odometry ATE 37/80/107 cm (refined
+            # 19/61/95), while the small 150-frame 48x512 sweep ordered the
+            # other way (88/116/47 cm).  Short baselines win where the
+            # per-solve error is small relative to the per-keyframe
+            # systematic offset the corruptions induce.
+            KeyframeConfig(spawn_distance=1.5 if args.dynamic else 3.0,
+                           spawn_angle=0.3,
                            delta_clamp=odo_cfg.divergence_clamp),
         )
     else:
