@@ -47,6 +47,9 @@ def main():
                          "per-frame azimuth dropout, 2 cm per-frame range "
                          "bias jitter — makes odometry error non-systematic "
                          "so pose-graph refinement has real drift to fix")
+    ap.add_argument("--dnn", action="store_true",
+                    help="engage the DNN perspective-shift filter in every "
+                         "solve (cfg.dnn_filter; bundled pretrained net)")
     args = ap.parse_args()
 
     import jax
@@ -69,6 +72,8 @@ def main():
     cfg = ICETConfig()  # canonical 75x24, 7 iters (odometry profile)
     if args.dynamic:
         cfg = cfg.replace(remove_moving=True)
+    if args.dnn:
+        cfg = cfg.replace(dnn_filter=True)
     # The reference's 0.3 m clamp assumes slow indoor motion
     # (simpleMapMaker.cpp:129-137); at KITTI speeds (~1 m/frame at 10 Hz)
     # legitimate motion exceeds it.

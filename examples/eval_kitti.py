@@ -67,6 +67,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="path to the reference C++ oracle binary "
                          "(tools/oracle/build_oracle.sh) for a per-pair "
                          "head-to-head trajectory")
+    ap.add_argument("--dnn", action="store_true",
+                    help="engage the DNN perspective-shift filter in every "
+                         "solve (cfg.dnn_filter; bundled pretrained net)")
     ap.add_argument("--oracle-thresh", type=float, default=0.1,
                     help="reference cluster jump threshold (its 0.1 indoor "
                          "default mis-clusters noisy sparse scans; the "
@@ -100,7 +103,8 @@ def run(args) -> dict:
         )
     cfg = ICETConfig(n_iters=args.n_iters, min_range=args.min_range,
                      n_theta=args.n_theta, n_phi=args.n_phi,
-                     min_pts=args.min_pts, convergence_tol=1e-4, **grid)
+                     min_pts=args.min_pts, convergence_tol=1e-4,
+                     dnn_filter=args.dnn, **grid)
     src = KittiOdometrySource(
         args.sequence, poses_file=args.poses, max_points=args.max_points,
         start=args.start,

@@ -44,6 +44,36 @@ def _gpu_like_scatter_nd(indices, updates, shape, name=None):
 
 tf.scatter_nd = _gpu_like_scatter_nd
 
+_orig_gather = tf.gather
+
+
+def _gpu_like_gather(params, indices, *a, **k):
+    """GPU GatherV2 zero-fills out-of-range rows; CPU raises.  The
+    reference feeds NaN-cast garbage spike ids for points outside its phi
+    band (find_bins NaN -> int32 cast), so GPU semantics are load-bearing
+    on clouds that are not fully inside the grid (e.g. sample_pc_1/2)."""
+    if k.get("axis") not in (None, 0) or (a and a[0] is not None):
+        return _orig_gather(params, indices, *a, **k)
+    try:
+        idx = tf.convert_to_tensor(indices)
+        if not idx.dtype.is_integer:
+            return _orig_gather(params, indices, *a, **k)
+        n = tf.shape(params)[0]
+        valid = tf.logical_and(idx >= 0, idx < tf.cast(n, idx.dtype))
+        safe = tf.where(valid, idx, tf.zeros_like(idx))
+        out = _orig_gather(params, safe, *a, **k)
+        mask_shape = tf.concat(
+            [tf.shape(idx), tf.ones_like(tf.shape(out)[tf.rank(idx):])],
+            axis=0,
+        )
+        mask = tf.reshape(tf.cast(valid, out.dtype), mask_shape)
+        return out * mask
+    except Exception:
+        return _orig_gather(params, indices, *a, **k)
+
+
+tf.gather = _gpu_like_gather
+
 from ICET_spherical import ICET  # noqa: E402
 
 
