@@ -472,6 +472,9 @@ class KeyframeOdometry:
     def reset(self) -> None:
         self._model = None
         self._key_scan = None
+        #: world pose at which the NEXT seed spawn opens (identity for a
+        #: fresh run; checkpoint restore sets the resumed pose)
+        self._resume_T = np.eye(4)
         self.blockmap = blockmap_init(self.bm_cfg)
         self._T_key = np.eye(4)
         self._x_rel = jnp.zeros(6, jnp.float32)
@@ -499,7 +502,7 @@ class KeyframeOdometry:
     def step(self, scan: np.ndarray) -> KeyframeFrame | None:
         scan_dev = jnp.asarray(scan, jnp.float32)
         if self._model is None:
-            self._spawn(scan_dev, np.eye(4))
+            self._spawn(scan_dev, self._resume_T)
             self._index += 1
             return None
 

@@ -105,6 +105,72 @@ def map_state(mm) -> dict:
     }
 
 
+def keyframe_state(ko) -> dict:
+    """Capture a KeyframeOdometry's resumable state: the keyframe block
+    map, the pose chain, and the PRNG stream (so post-resume block
+    downsampling stays decorrelated)."""
+    bm = ko.blockmap
+    kf_states = (
+        np.stack(ko.keyframe_states)
+        if ko.keyframe_states else np.zeros((0, 6), np.float32)
+    )
+    return {
+        "bm_points": np.asarray(bm.points),
+        "bm_valid": np.asarray(bm.valid),
+        "bm_poses": np.asarray(bm.poses),
+        "bm_n_blocks": np.asarray(bm.n_blocks),
+        "bm_cursor": np.asarray(bm.cursor),
+        "T_key": np.asarray(ko._T_key),
+        "x_rel": np.asarray(ko._x_rel),
+        "delta": np.asarray(ko._delta),
+        "stds_rel": np.asarray(ko._stds_rel),
+        # -1 encodes "fresh keyframe, fraction test off" (None in-memory)
+        "n_corr0": np.asarray(
+            -1 if ko._n_corr0 is None else int(np.asarray(ko._n_corr0))
+        ),
+        "index": np.asarray(ko._index),
+        "key": np.asarray(ko._key),
+        "kf_states": kf_states,
+        "kf_indices": np.asarray(ko.keyframe_indices, np.int64),
+    }
+
+
+def restore_keyframe(ko, state: dict) -> None:
+    """Restore a KeyframeOdometry.  The voxel model is not persisted (it is
+    a pure function of the keyframe scan, which the block map only retains
+    downsampled) — the first scan after resume spawns a NEW keyframe at the
+    restored world pose and odometry continues from there.  Like
+    restore_odometry's re-seed, that first scan's own inter-frame motion is
+    not registered: resume on the checkpointed frame itself (replay one
+    frame of overlap) to avoid the one-step trajectory gap."""
+    from icet_tpu.keyframe import BlockMap
+    from icet_tpu.ops.geometry import pose_matrix
+
+    ko.blockmap = BlockMap(
+        points=jnp.asarray(state["bm_points"]),
+        valid=jnp.asarray(state["bm_valid"]),
+        poses=jnp.asarray(state["bm_poses"]),
+        n_blocks=jnp.asarray(state["bm_n_blocks"]),
+        cursor=jnp.asarray(state["bm_cursor"]),
+    )
+    ko._T_key = np.asarray(state["T_key"])
+    ko._x_rel = jnp.asarray(state["x_rel"])
+    ko._delta = jnp.asarray(state["delta"])
+    ko._stds_rel = np.asarray(state["stds_rel"])
+    n0 = int(state["n_corr0"])
+    ko._n_corr0 = None if n0 < 0 else jnp.asarray(n0, jnp.int32)
+    ko._index = int(state["index"])
+    ko._key = jnp.asarray(state["key"])
+    ko.keyframe_states = [s for s in np.asarray(state["kf_states"])]
+    ko.keyframe_indices = [int(i) for i in np.asarray(state["kf_indices"])]
+    ko._model = None
+    ko._key_scan = None
+    # The next scan must spawn at the restored pose, not the origin.
+    ko._resume_T = ko._T_key @ np.asarray(
+        pose_matrix(jnp.asarray(ko._x_rel))
+    )
+
+
 def restore_map(mm, state: dict) -> None:
     from icet_tpu.mapping import MapState
 

@@ -141,6 +141,47 @@ def test_odometry_checkpoint_resume(tmp_path):
     assert f is not None and np.isfinite(f.X).all()
 
 
+def test_keyframe_checkpoint_resume(tmp_path):
+    from icet_tpu.config import KeyframeConfig
+    from icet_tpu.datasets.synthetic import simulate_scan
+    from icet_tpu.keyframe import KeyframeOdometry
+    from icet_tpu.utils.checkpoint import keyframe_state, restore_keyframe
+
+    cfg = ICETConfig(
+        n_theta=24, n_phi=8, phi_min=np.pi / 3, phi_max=2 * np.pi / 3,
+        n_iters=3, min_pts=10, min_range=1.0,
+    )
+    kf_cfg = KeyframeConfig(spawn_distance=0.5, delta_clamp=2.0)
+    # 32x256 rays: enough per-voxel support on this grid that the motion is
+    # actually tracked (16x128 leaves most voxels under min_pts -> X=0).
+    scans = [simulate_scan(pose_t=np.array([0.3 * i, 0, 0]), seed=7,
+                           n_beams=32, n_azimuth=256) for i in range(6)]
+    ko = KeyframeOdometry(cfg, kf_cfg)
+    frames = [ko.step(s) for s in scans[:4]]
+    T_mid = frames[-1].T_world
+    p = str(tmp_path / "kf.npz")
+    save_checkpoint(p, keyframe_state(ko))
+
+    ko2 = KeyframeOdometry(cfg, kf_cfg)
+    restore_keyframe(ko2, load_checkpoint(p))
+    assert ko2._index == ko._index
+    np.testing.assert_allclose(
+        np.asarray(ko2.blockmap.points), np.asarray(ko.blockmap.points)
+    )
+    assert ko2.keyframe_indices == ko.keyframe_indices
+    # First post-resume scan re-seeds a keyframe AT THE RESTORED POSE
+    # (x ~= 0.9 after 4 frames of 0.3 m), then odometry continues.  The
+    # re-seed frame's own motion is not registered (restore_keyframe
+    # docstring) so the resumed trajectory lags truth by that one step:
+    # scans[5] at x=1.5 reports 0.9 + (1.5 - 1.2) = 1.2.
+    f4 = ko2.step(scans[4])
+    assert f4 is None  # re-seed frame
+    np.testing.assert_allclose(ko2._T_key, T_mid, atol=0.05)
+    f5 = ko2.step(scans[5])
+    assert f5 is not None and not f5.diverged
+    np.testing.assert_allclose(f5.T_world[0, 3], 1.2, atol=0.1)
+
+
 def test_map_checkpoint_resume(tmp_path):
     from icet_tpu.config import MapConfig
     from icet_tpu.datasets.synthetic import simulate_scan
