@@ -71,6 +71,20 @@ def sample_voxel_points(
     return samples, counts
 
 
+def sample_scan1_voxels(model: VoxelModel, scan1: jax.Array, cfg: ICETConfig):
+    """Per-voxel point samples of the model's source scan — loop-invariant
+    input to :func:`dnn_reject_mask` (hoist out of per-iteration loops)."""
+    rtp = cart_to_spherical(scan1)
+    vid = voxel_ids(rtp, cfg)
+    member = membership(
+        vid, rtp[..., 0], rtp[..., 0] >= cfg.min_range, model.bounds,
+        cfg.n_voxels,
+    )
+    return sample_voxel_points(
+        scan1, vid, member, cfg.n_voxels, cfg.dnn_sample_pts
+    )
+
+
 class DnnFilterResult(NamedTuple):
     keep: jax.Array  # (V+1,) voxels NOT rejected
     dnn_shift: jax.Array  # (V+1, 3) network-estimated voxel translations
@@ -86,11 +100,17 @@ def dnn_reject_mask(
     scan2_aligned: jax.Array,
     cfg: ICETConfig,
     refine_steps: int = 2,
+    samples1: tuple | None = None,
 ) -> DnnFilterResult:
     """Compute the keep-mask for voxels whose ICET residual disagrees with
     the bias network's translation estimate (reference
     ICET_spherical.py:324-383, incl. the 2-pass iterative refinement at
-    :324-336)."""
+    :324-336).
+
+    ``samples1``: optional precomputed ``sample_scan1_voxels`` output —
+    scan 1 and the model are loop-invariant across the in-loop filter's
+    iterations, so its sort+gather pass hoists out of the scanned body.
+    """
     S = cfg.dnn_sample_pts
 
     def per_scan(points):
@@ -102,7 +122,7 @@ def dnn_reject_mask(
         )
         return sample_voxel_points(points, vid, member, cfg.n_voxels, S)
 
-    s1, n1 = per_scan(scan1)
+    s1, n1 = samples1 if samples1 is not None else per_scan(scan1)
     s2, n2 = per_scan(scan2_aligned)
 
     mu1 = jnp.mean(s1, axis=-2)
@@ -237,10 +257,14 @@ def register_with_dnn(
         return post, filt
 
     step_cfg = cfg.replace(n_iters=1, convergence_tol=0.0)
+    # Scan 1's per-voxel samples are invariant across the filtered
+    # iterations — one sort+gather pass instead of n_post.
+    s1 = sample_scan1_voxels(model, scan1, cfg)
 
     def body(X, k):
         aligned = transform_points(scan2, X)
-        filt = dnn_reject_mask(bias_net, params, model, scan1, aligned, cfg)
+        filt = dnn_reject_mask(bias_net, params, model, scan1, aligned, cfg,
+                               samples1=s1)
         res = register(model, scan2, X, step_cfg, corr_mask=filt.keep,
                        want_static_mask=False, it_offset=n_pre + k)
         return res.X, None
@@ -253,7 +277,8 @@ def register_with_dnn(
     # the solver's own static mask (correspondences ∧ moving-object keep ∧
     # this mask), identical semantics to the one-shot mode's last phase.
     aligned = transform_points(scan2, X_mid)
-    filt = dnn_reject_mask(bias_net, params, model, scan1, aligned, cfg)
+    filt = dnn_reject_mask(bias_net, params, model, scan1, aligned, cfg,
+                           samples1=s1)
     res = register(
         model, scan2, X_mid, step_cfg, corr_mask=filt.keep,
         want_static_mask=want_static_mask, it_offset=cfg.n_iters - 1,
