@@ -185,6 +185,40 @@ def test_odometry_pipeline_recovers_from_device_loss(monkeypatch):
         assert a.diverged == b.diverged
 
 
+def test_odometry_dnn_recovers_from_device_loss(monkeypatch):
+    """The DNN-filtered pipeline's recovery must also restore the previous
+    scan (the filter samples it per voxel) — the recovered run is
+    bit-identical to an unfailed one."""
+    import icet_tpu.filters as filt_mod
+    from icet_tpu.odometry import OdometryPipeline
+
+    # sample_pts stays 100: that's the only bundled weight set
+    cfg = CFG.replace(dnn_filter=True, dnn_start_iter=2)
+    scans = _drive_scans()
+    clean = OdometryPipeline(cfg)
+    frames_clean = [f for f in (clean.step(s) for s in scans) if f is not None]
+
+    real_step = filt_mod.odometry_step_dnn_jit
+    calls = {"n": 0}
+
+    def flaky(*args, **kw):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("simulated device loss")
+        return real_step(*args, **kw)
+
+    monkeypatch.setattr(filt_mod, "odometry_step_dnn_jit", flaky)
+    pipe = OdometryPipeline(cfg)
+    frames = [f for f in (pipe.step(s) for s in scans) if f is not None]
+
+    assert pipe.recoveries == 1
+    assert pipe._scan_prev is not None
+    assert len(frames) == len(frames_clean)
+    for a, b in zip(frames, frames_clean):
+        np.testing.assert_array_equal(a.X, b.X)
+        np.testing.assert_array_equal(a.T_world, b.T_world)
+
+
 def test_mapmaker_recovers_from_device_loss(monkeypatch):
     """The mapping pipeline restores the newest host snapshot of the ring
     map (+ PRNG key + model refit) and retries; with snapshot_every=1 the
