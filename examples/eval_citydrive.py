@@ -39,6 +39,8 @@ def main():
                          "estimated trajectory")
     ap.add_argument("--min-gap", type=int, default=100,
                     help="minimum frame separation for a loop candidate")
+    ap.add_argument("--loop-k", type=int, default=1,
+                    help="loop candidates kept per frame (k nearest)")
     ap.add_argument("--out", default=None, help="write TUM trajectories here")
     ap.add_argument("--save-graph", default=None,
                     help="npz path to dump the pose graph (debugging)")
@@ -138,7 +140,7 @@ def main():
     # real system has available).
     positions = np.stack([T[:3, 3] for T in est])
     cands = detect_loop_candidates(
-        positions, radius=args.radius, min_gap=args.min_gap
+        positions, radius=args.radius, min_gap=args.min_gap, k=args.loop_k
     )
     print(f"\nloop candidates: {len(cands)}")
     t0 = time.perf_counter()

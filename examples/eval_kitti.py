@@ -51,6 +51,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="loop closure + block-sparse pose-graph refinement")
     ap.add_argument("--radius", type=float, default=8.0)
     ap.add_argument("--min-gap", type=int, default=100)
+    ap.add_argument("--loop-k", type=int, default=1,
+                    help="loop candidates kept per frame (k nearest)")
     ap.add_argument("--clamp", type=float, default=4.0,
                     help="divergence clamp (m); KITTI reaches ~3.3 m/frame")
     ap.add_argument("--n-iters", type=int, default=7)
@@ -169,7 +171,8 @@ def run(args) -> dict:
 
         positions = np.stack([T[:3, 3] for T in est])
         cands = detect_loop_candidates(
-            positions, radius=args.radius, min_gap=args.min_gap
+            positions, radius=args.radius, min_gap=args.min_gap,
+            k=args.loop_k,
         )
         print(f"loop candidates: {len(cands)}")
 
