@@ -78,6 +78,11 @@ class IterationDiag(NamedTuple):
     dx_norm: jax.Array
     n_dropped_axes: jax.Array
     n_rejected_moving: jax.Array
+    #: windowed-moments overflow count (0 on non-fused paths).  Nonzero
+    #: means this iteration silently fell back to the ~2x-cost segsum path
+    #: (unordered/azimuth-major input, or a keyframe-scale transform) —
+    #: the production observability hook for that slowdown.
+    windowed_overflow: jax.Array
 
 
 class RegistrationResult(NamedTuple):
@@ -208,7 +213,7 @@ def prepare_reference(
             finalize_moments_planes,
         )
 
-        sums = _fused_sums(
+        sums, _prep_ovf = _fused_sums(
             scan1, jnp.zeros(6, scan1.dtype), clusters.bounds, anchors, cfg
         )
         if axis_name is not None:
@@ -284,20 +289,25 @@ def _fused_sums(pts, X, bounds, anchors, cfg: ICETConfig):
     block hits a narrow contiguous voxel band; ops/windowed_moments.py) with
     a lax.cond fallback to the order-independent segsum path when any
     block's points overflow the window (shuffled/azimuth-major inputs stay
-    correct, just slower — see datasets.loaders.to_beam_major)."""
+    correct, just slower — see datasets.loaders.to_beam_major).
+
+    Returns ``(sums, overflow_count)`` — the count surfaces in
+    IterationDiag.windowed_overflow so the silent 2x fallback is
+    observable in production metrics."""
     from icet_tpu.ops.windowed_moments import windowed_moment_sums
 
     if cfg.radial_mode == "fixed":
         # Radial shells scatter a block's ids across the whole table; the
         # windowed trick only pays off for adaptive (angular-only) voxels.
-        return _jnp_sums(pts, X, bounds, anchors, cfg)
+        return _jnp_sums(pts, X, bounds, anchors, cfg), jnp.int32(0)
 
     sums_w, ovf = windowed_moment_sums(pts, X, bounds, anchors, cfg)
-    return jax.lax.cond(
+    sums = jax.lax.cond(
         ovf == 0,
         lambda: sums_w,
         lambda: _jnp_sums(pts, X, bounds, anchors, cfg),
     )
+    return sums, ovf
 
 
 def _moment_method(cfg: ICETConfig) -> str:
@@ -346,9 +356,10 @@ def _iteration(
         # (V, 3, 3) AoS layout inside the GN loop.
         from icet_tpu.ops.moments import finalize_moments_planes
 
-        sums = _fused_sums(scan2, X, model.bounds, model.anchors, cfg)
+        sums, win_ovf = _fused_sums(scan2, X, model.bounds, model.anchors, cfg)
         if axis_name is not None:
             sums = jax.lax.psum(sums, axis_name)
+            win_ovf = jax.lax.psum(win_ovf, axis_name)
         count2, mean2, cov2 = finalize_moments_planes(sums, model.anchors)
     else:
         valid_pt2 = jnp.linalg.norm(scan2, axis=-1) >= cfg.min_range
@@ -368,6 +379,7 @@ def _iteration(
             axis_name=axis_name,
         )
         count2, mean2, cov2 = m2.count, m2.mean, m2.cov
+        win_ovf = jnp.int32(0)
 
     corr = model.valid & (count2 >= cfg.min_pts)
     if corr_mask is not None:
@@ -444,6 +456,7 @@ def _iteration(
         dx_norm=jnp.linalg.norm(dx),
         n_dropped_axes=jnp.sum((~keep).astype(jnp.int32)),
         n_rejected_moving=n_rejected,
+        windowed_overflow=win_ovf,
     )
     return X_new, w6, keep, corr, U2, diag
 

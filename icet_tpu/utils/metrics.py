@@ -29,6 +29,10 @@ class FrameMetrics:
     dx_final: float
     solve_ms: float
     diverged: bool = False
+    #: True when any iteration's windowed moment accumulation overflowed
+    #: and silently fell back to the ~2x-cost segsum path (unordered scan
+    #: order or a keyframe-scale transform) — watch this in production.
+    windowed_fallback: bool = False
 
     @classmethod
     def from_result(cls, index, res, solve_ms=0.0, diverged=False):
@@ -44,6 +48,9 @@ class FrameMetrics:
             dx_final=float(np.asarray(d.dx_norm)[-1]),
             solve_ms=solve_ms,
             diverged=diverged,
+            windowed_fallback=bool(
+                np.asarray(getattr(d, "windowed_overflow", 0)).max() > 0
+            ),
         )
 
     def to_json(self) -> str:

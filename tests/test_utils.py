@@ -86,6 +86,7 @@ def test_metrics_log(tmp_path):
         n_dropped_axes = np.array([0, 0])
         n_rejected_moving = np.array([0, 1])
         dx_norm = np.array([0.5, 0.01])
+        windowed_overflow = np.array([0, 3])
 
     class FakeRes:
         X = np.zeros(6)
@@ -100,6 +101,7 @@ def test_metrics_log(tmp_path):
     rec = json.loads(path.read_text().strip())
     assert rec["index"] == 3 and rec["n_corr"] == 20
     assert rec["n_rejected_moving"] == 1
+    assert rec["windowed_fallback"] is True
 
 
 def test_checkpoint_roundtrip(tmp_path):

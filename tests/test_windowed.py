@@ -83,6 +83,22 @@ def test_fused_solver_path_matches_segsum():
     # components only (the point of this test is fused == segsum above).
     np.testing.assert_allclose(np.asarray(res_f.X)[:2], X_true[:2], atol=0.05)
 
+    # Observability: a beam-major scan takes the fast path in (nearly)
+    # every iteration — a handful of edge points can transiently overflow
+    # at a particular X (observed: one iteration with overflow=3 on this
+    # fixture; that is precisely what the hook surfaces) — while a
+    # SHUFFLED scan reports massive overflow (silent 2x segsum fallback).
+    ovf = np.asarray(res_f.diagnostics.windowed_overflow)
+    assert ovf[0] == 0 and (ovf == 0).sum() >= ovf.size - 2, ovf
+    rng = np.random.default_rng(0)
+    res_shuf = register_pair(
+        jnp.asarray(scan1), jnp.asarray(rng.permutation(scan2)), jnp.zeros(6),
+        CFG.replace(moment_method="fused"),
+    )
+    assert int(np.asarray(res_shuf.diagnostics.windowed_overflow).max()) > 0
+    # The segsum path reports 0 (field only meaningful on the fused path).
+    assert int(np.asarray(res_s.diagnostics.windowed_overflow).max()) == 0
+
 
 def test_windowed_nan_inputs(scene):
     """NaN points must be excluded exactly (where-guard), never poison the
