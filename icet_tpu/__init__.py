@@ -32,7 +32,7 @@ from icet_tpu.solver import (
     register_pair,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "BlockMap",
