@@ -189,7 +189,7 @@ def main() -> None:
             bm0 = blockmap_init(bm_cfg)
             model0, bm0 = keyframe_spawn_jit(
                 bm0, scan0, jnp.zeros(6, jnp.float32),
-                jax.random.PRNGKey(1), cfg, bm_cfg,
+                jax.random.PRNGKey(1), jnp.asarray(True), cfg, bm_cfg,
             )
             ks = (jnp.arange(chain) + 1) % nf
 
@@ -208,7 +208,8 @@ def main() -> None:
 
                 def do_spawn(_):
                     m2, bm3 = keyframe_spawn_jit(
-                        bm2, scan, world2, sub2, cfg, bm_cfg
+                        bm2, scan, world2, sub2, jnp.asarray(True),
+                        cfg, bm_cfg
                     )
                     return (
                         m2, bm3, jnp.zeros(6, jnp.float32),

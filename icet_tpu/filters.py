@@ -47,12 +47,24 @@ def sample_voxel_points(
     member: jax.Array,
     n_voxels: int,
     n_samples: int,
+    mode: str = "head",
 ) -> tuple[jax.Array, jax.Array]:
     """Fixed-size per-voxel point samples, dense: ``(V+1, S, 3)``.
 
-    Sorts point indices by voxel id and slices S per voxel (cycling within
-    the voxel when it holds fewer than S points) — replaces the reference's
-    per-voxel host-side shuffles (ICET_spherical.py:303-312).
+    Sorts point indices by voxel id and slices S per voxel, replacing the
+    reference's per-voxel host-side shuffles (ICET_spherical.py:303-312).
+
+    ``mode="head"`` (default) takes the first S of each voxel's run
+    (cycling when shorter).  Stable sort keeps scan order, so on
+    beam-major scans this is the voxel's lowest beam rows — a spatially
+    biased subset in theory, but the MEASURED-better choice: on the fence
+    occlusion benchmark (tests/test_dnn_filter.py) head sampling cuts the
+    biased-axis error to 0.31/0.41/0.07 of plain across seeds, while
+    ``mode="strided"`` (S evenly-strided positions spanning the whole run
+    — the faithful analog of the reference's full-voxel shuffle) only
+    reaches 0.61/1.15/0.53.  Both estimates the filter compares (sampled
+    icet_shift AND the net's prediction) move together under the sampling
+    scheme, so representativeness does not automatically help.
     """
     n = points.shape[0]
     vidm = jnp.where(member, vid, n_voxels).astype(jnp.int32)
@@ -63,15 +75,17 @@ def sample_voxel_points(
     offsets = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
     )
-    within = jnp.arange(n_samples, dtype=jnp.int32)[None, :] % jnp.maximum(
-        counts, 1
-    )[:, None]
+    k = jnp.arange(n_samples, dtype=jnp.int32)[None, :]
+    if mode == "strided":
+        within = (k * jnp.maximum(counts, 1)[:, None]) // n_samples
+    else:
+        within = k % jnp.maximum(counts, 1)[:, None]
     take = jnp.clip(offsets[:, None] + within, 0, n - 1)
     samples = points[order[take]]
     return samples, counts
 
 
-def sample_scan1_voxels(model: VoxelModel, scan1: jax.Array, cfg: ICETConfig):
+def model_voxel_samples(model: VoxelModel, scan1: jax.Array, cfg: ICETConfig):
     """Per-voxel point samples of the model's source scan — loop-invariant
     input to :func:`dnn_reject_mask` (hoist out of per-iteration loops)."""
     rtp = cart_to_spherical(scan1)
@@ -107,23 +121,15 @@ def dnn_reject_mask(
     ICET_spherical.py:324-383, incl. the 2-pass iterative refinement at
     :324-336).
 
-    ``samples1``: optional precomputed ``sample_scan1_voxels`` output —
+    ``samples1``: optional precomputed ``model_voxel_samples`` output —
     scan 1 and the model are loop-invariant across the in-loop filter's
     iterations, so its sort+gather pass hoists out of the scanned body.
     """
-    S = cfg.dnn_sample_pts
-
-    def per_scan(points):
-        rtp = cart_to_spherical(points)
-        vid = voxel_ids(rtp, cfg)
-        member = membership(
-            vid, rtp[..., 0], rtp[..., 0] >= cfg.min_range, model.bounds,
-            cfg.n_voxels,
-        )
-        return sample_voxel_points(points, vid, member, cfg.n_voxels, S)
-
-    s1, n1 = samples1 if samples1 is not None else per_scan(scan1)
-    s2, n2 = per_scan(scan2_aligned)
+    s1, n1 = (
+        samples1 if samples1 is not None
+        else model_voxel_samples(model, scan1, cfg)
+    )
+    s2, n2 = model_voxel_samples(model, scan2_aligned, cfg)
 
     mu1 = jnp.mean(s1, axis=-2)
     mu2 = jnp.mean(s2, axis=-2)
@@ -207,10 +213,14 @@ def register_with_dnn(
     bias_net: BiasNet,
     params,
     want_static_mask: bool = True,
+    samples1: tuple | None = None,
 ) -> tuple[RegistrationResult, DnnFilterResult]:
     """Registration against a prepared model with the DNN perspective-shift
     filter engaged (jittable; ``scan1`` is the model's source cloud, needed
-    for per-voxel point sampling).
+    for per-voxel point sampling — or pass its precomputed
+    ``model_voxel_samples`` as ``samples1`` to skip that pass entirely,
+    e.g. when the same model serves many solves: odometry reuses the
+    previous frame's samples, keyframe mode the keyframe's).
 
     Two modes (``cfg.dnn_in_loop``):
 
@@ -234,7 +244,8 @@ def register_with_dnn(
         pre = register(model, scan2, x0, cfg.replace(n_iters=1),
                        want_static_mask=want_static_mask)
         aligned = transform_points(scan2, pre.X)
-        filt = dnn_reject_mask(bias_net, params, model, scan1, aligned, cfg)
+        filt = dnn_reject_mask(bias_net, params, model, scan1, aligned, cfg,
+                               samples1=samples1)
         return pre, filt
     n_pre = max(min(cfg.dnn_start_iter, cfg.n_iters - 1), 1)
     n_post = cfg.n_iters - n_pre
@@ -248,7 +259,8 @@ def register_with_dnn(
 
     if not cfg.dnn_in_loop:
         aligned = transform_points(scan2, pre.X)
-        filt = dnn_reject_mask(bias_net, params, model, scan1, aligned, cfg)
+        filt = dnn_reject_mask(bias_net, params, model, scan1, aligned, cfg,
+                               samples1=samples1)
         post = register(
             model, scan2, pre.X, cfg.replace(n_iters=n_post),
             corr_mask=filt.keep, want_static_mask=want_static_mask,
@@ -258,8 +270,11 @@ def register_with_dnn(
 
     step_cfg = cfg.replace(n_iters=1, convergence_tol=0.0)
     # Scan 1's per-voxel samples are invariant across the filtered
-    # iterations — one sort+gather pass instead of n_post.
-    s1 = sample_scan1_voxels(model, scan1, cfg)
+    # iterations — one sort+gather pass instead of n_post (or zero when
+    # the caller already holds them).
+    s1 = samples1 if samples1 is not None else model_voxel_samples(
+        model, scan1, cfg
+    )
 
     def body(X, k):
         aligned = transform_points(scan2, X)
@@ -300,23 +315,33 @@ def register_pair_with_dnn(
     return register_with_dnn(model, scan1, scan2, x0, cfg, bias_net, params)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5))
+@functools.partial(jax.jit, static_argnums=(2,))
+def model_voxel_samples_jit(
+    model: VoxelModel, scan: jax.Array, cfg: ICETConfig
+):
+    return model_voxel_samples(model, scan, cfg)
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6))
 def odometry_step_dnn_jit(
     model: VoxelModel,
     prev_scan: jax.Array,
+    prev_samples: tuple,
     scan: jax.Array,
     x0: jax.Array,
     cfg: ICETConfig,
     bias_net: BiasNet,
     params,
-) -> tuple[RegistrationResult, VoxelModel]:
+) -> tuple[RegistrationResult, VoxelModel, tuple]:
     """DNN-filtered twin of ``solver.odometry_step_jit``: register the new
     scan against the previous frame's model WITH the perspective-shift
-    filter (which needs the previous scan's raw points for per-voxel
-    sampling), and fit the new scan's own model — still one dispatch."""
+    filter, and fit the new scan's own model + per-voxel samples for the
+    NEXT frame — still one dispatch, and the reference cloud's sampling
+    pass is paid once per frame instead of once per solve."""
     res, _filt = register_with_dnn(
         model, prev_scan, scan, x0, cfg, bias_net, params,
-        want_static_mask=False,
+        want_static_mask=False, samples1=prev_samples,
     )
     new_model = prepare_reference(scan, cfg)
-    return res, new_model
+    new_samples = model_voxel_samples(new_model, scan, cfg)
+    return res, new_model, new_samples

@@ -349,12 +349,13 @@ def keyframe_step_jit(
     )
 
 
-@functools.partial(jax.jit, static_argnums=(8, 9, 10, 11), donate_argnums=(1,))
+@functools.partial(jax.jit, static_argnums=(9, 10, 11, 12), donate_argnums=(1,))
 def keyframe_step_dnn_jit(
     model: VoxelModel,
     bm: BlockMap,
     scan: jax.Array,
     key_scan: jax.Array,
+    key_samples,
     x_prev_rel: jax.Array,
     delta_prev: jax.Array,
     key: jax.Array,
@@ -369,13 +370,15 @@ def keyframe_step_dnn_jit(
     runs with the perspective-shift rejection engaged, sampling the
     KEYFRAME's raw points (``key_scan``) per voxel — the keyframe regime is
     where perspective shift is largest (baselines of metres vs the
-    frame-to-frame centimetres)."""
+    frame-to-frame centimetres).  ``key_samples`` is the keyframe cloud's
+    precomputed model_voxel_samples (a pure function of the keyframe, paid
+    once at spawn instead of a 65k-point sort+gather every frame)."""
     from icet_tpu.filters import register_with_dnn
 
     def solve_fn(m, scan0):
         res, _filt = register_with_dnn(
             m, key_scan, scan0, jnp.zeros(6, scan.dtype), cfg,
-            bias_net, params, want_static_mask=False,
+            bias_net, params, want_static_mask=False, samples1=key_samples,
         )
         return res
 
@@ -385,17 +388,21 @@ def keyframe_step_dnn_jit(
     )
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5), donate_argnums=(0,))
+@functools.partial(jax.jit, static_argnums=(5, 6), donate_argnums=(0,))
 def keyframe_spawn_jit(
     bm: BlockMap,
     scan: jax.Array,
     world_state: jax.Array,
     key: jax.Array,
+    seed_insert: jax.Array,
     cfg: ICETConfig,
     bm_cfg: BlockMapConfig,
 ):
     """Spawn a keyframe: fit the scan's voxel model and open its map block
-    (seeded with the scan itself).  One extra dispatch per keyframe — the
+    (seeded with the scan itself when ``seed_insert`` — a checkpoint
+    resume that REPLAYS the checkpointed frame passes False, since that
+    frame's points are already in the restored map and seeding again would
+    double-weight its geometry).  One extra dispatch per keyframe — the
     prepare stage is paid here instead of every frame.
 
     ``key`` decorrelates the seed-insert downsample across keyframes: a
@@ -412,6 +419,7 @@ def keyframe_spawn_jit(
         key,
         bm_cfg,
         cfg.min_range,
+        enabled=seed_insert,
     )
     return model, new_bm
 
@@ -455,11 +463,18 @@ class KeyframeOdometry:
         kf_cfg: KeyframeConfig | None = None,
         bm_cfg: BlockMapConfig | None = None,
         seed: int = 0,
+        snapshot_every: int = 10,
     ):
         self.cfg = cfg or ICETConfig()
         self.kf_cfg = kf_cfg or KeyframeConfig()
         self.bm_cfg = bm_cfg or BlockMapConfig()
         self._key = jax.random.PRNGKey(seed)
+        #: host-snapshot cadence for device-loss recovery: the fused step
+        #: DONATES the block map, so a failed dispatch invalidates it — the
+        #: newest snapshot (a numpy keyframe_state) is what recovery
+        #: restores.  Frames since the snapshot lose their map inserts and
+        #: the trajectory resumes at the snapshot pose.
+        self.snapshot_every = snapshot_every
         # cfg.dnn_filter engages the perspective-shift rejection in every
         # solve, sampling the keyframe scan's points per voxel.
         self._dnn = None
@@ -472,6 +487,7 @@ class KeyframeOdometry:
     def reset(self) -> None:
         self._model = None
         self._key_scan = None
+        self._key_samples = None
         #: world pose at which the NEXT seed spawn opens (identity for a
         #: fresh run; checkpoint restore sets the resumed pose)
         self._resume_T = np.eye(4)
@@ -484,22 +500,85 @@ class KeyframeOdometry:
         self._index = 0
         self.keyframe_states: list[np.ndarray] = []
         self.keyframe_indices: list[int] = []
+        self._snapshot: dict | None = None
+        #: host mirror of the newest completed world pose — recovery spawns
+        #: there even when the blockmap snapshot lags (4x4 numpy, refreshed
+        #: every frame; negligible next to the frame's own transfers)
+        self._T_world_host = np.eye(4)
+        self.recoveries = 0
 
     def _spawn(self, scan_dev: jax.Array, T_world: np.ndarray) -> None:
         state = np_pose_to_state(T_world).astype(np.float32)
         self._key, sub = jax.random.split(self._key)
+        seed = jnp.asarray(getattr(self, "_resume_seed_insert", True))
         self._model, self.blockmap = keyframe_spawn_jit(
-            self.blockmap, scan_dev, jnp.asarray(state), sub,
+            self.blockmap, scan_dev, jnp.asarray(state), sub, seed,
             self.cfg, self.bm_cfg,
         )
+        self._resume_seed_insert = True  # one-shot (checkpoint replay only)
         self._T_key = T_world
-        self._key_scan = scan_dev if self._dnn is not None else None
+        if self._dnn is not None:
+            from icet_tpu.filters import model_voxel_samples_jit
+
+            self._key_scan = scan_dev
+            self._key_samples = model_voxel_samples_jit(
+                self._model, scan_dev, self.cfg
+            )
+        else:
+            self._key_scan = None
+            self._key_samples = None
         self._x_rel = jnp.zeros(6, jnp.float32)
+        # Invariant (see the delta-stds note in step()): right after a spawn
+        # x_prev_rel is exactly zero, so the previous solve's stds must be
+        # zero too — including for the checkpoint-resume spawn, which does
+        # not pass through step()'s keyframe branch.
+        self._stds_rel = np.zeros(6, np.float32)
         self._n_corr0 = None  # set by the first solve against this keyframe
         self.keyframe_states.append(state)
         self.keyframe_indices.append(self._index)
 
     def step(self, scan: np.ndarray) -> KeyframeFrame | None:
+        """Feed one scan.  Survives device loss mid-stream: the fused step
+        DONATES the block map (a failed dispatch invalidates it), so on any
+        device error the pipeline probes for healthy devices, restores the
+        newest host snapshot (taken every ``snapshot_every`` frames), and
+        retries — the retried frame re-seeds a keyframe at the snapshot
+        pose; inserts since the snapshot are lost, odometry continues."""
+        try:
+            frame = self._step_device(scan)
+        except (TypeError, ValueError):
+            # Deterministic tracing/shape/user errors: recovery cannot help.
+            raise
+        except Exception:
+            self._recover()
+            frame = self._step_device(scan)
+        if self._index % self.snapshot_every == 0:
+            from icet_tpu.utils.checkpoint import keyframe_state
+
+            self._snapshot = keyframe_state(self)
+        return frame
+
+    def _recover(self) -> None:
+        from icet_tpu.parallel.elastic import probe_devices
+
+        if not probe_devices():
+            raise RuntimeError("no healthy devices remain")
+        self.recoveries += 1
+        idx, rec, T_last = self._index, self.recoveries, self._T_world_host
+        if self._snapshot is None:
+            self.reset()  # zeroes the counters; restore them below
+        else:
+            from icet_tpu.utils.checkpoint import restore_keyframe
+
+            restore_keyframe(self, self._snapshot)
+        self._index, self.recoveries = idx, rec
+        self._T_world_host = T_last
+        # Spawn at the newest COMPLETED pose, not the (possibly stale)
+        # snapshot pose — block poses are self-describing, so a newer
+        # keyframe pose is consistent with an older restored map.
+        self._resume_T = T_last
+
+    def _step_device(self, scan: np.ndarray) -> KeyframeFrame | None:
         scan_dev = jnp.asarray(scan, jnp.float32)
         if self._model is None:
             self._spawn(scan_dev, self._resume_T)
@@ -520,6 +599,7 @@ class KeyframeOdometry:
                     self.blockmap,
                     scan_dev,
                     self._key_scan,
+                    self._key_samples,
                     self._x_rel,
                     self._delta,
                     sub,
@@ -552,6 +632,7 @@ class KeyframeOdometry:
         T_world = self._T_key @ np_pose_matrix(X_rel)
         self._x_rel = x_rel
         self._delta = delta
+        self._T_world_host = T_world  # recovery resumes here
 
         # The reported X is the consecutive-frame DELTA (difference of two
         # keyframe-relative solves), so its stds must describe the delta:
@@ -566,8 +647,7 @@ class KeyframeOdometry:
 
         is_kf = bool(spawn)
         if is_kf:
-            self._spawn(scan_dev, T_world)
-            self._stds_rel = np.zeros(6, np.float32)
+            self._spawn(scan_dev, T_world)  # zeroes _stds_rel
         else:
             self._stds_rel = cur_stds
 

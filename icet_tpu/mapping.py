@@ -202,6 +202,10 @@ class MapMaker:
         scan = np.asarray(scan, np.float32)
         try:
             frame = self._step_device(scan)
+        except (TypeError, ValueError):
+            # Deterministic tracing/shape/user errors: recovery cannot help
+            # and costs a 60 s probe — surface the original exception.
+            raise
         except Exception:
             self._recover()
             frame = self._step_device(scan)

@@ -82,6 +82,7 @@ class OdometryPipeline:
     def reset(self) -> None:
         self._model = None
         self._scan_prev = None
+        self._samples_prev = None
         self._X_prev = jnp.zeros(6, jnp.float32)
         self._T_world = jnp.eye(4, dtype=jnp.float32)
         self._index = 0
@@ -105,6 +106,11 @@ class OdometryPipeline:
         scan = np.asarray(scan, np.float32)
         try:
             frame = self._step_device(scan)
+        except (TypeError, ValueError):
+            # Deterministic tracing/shape/user errors: a retry raises the
+            # same thing after a pointless (up to 60 s) device probe —
+            # surface the original exception immediately.
+            raise
         except Exception:
             self._recover()
             frame = self._step_device(scan)
@@ -132,17 +138,29 @@ class OdometryPipeline:
             scan_dev = jax.device_put(self._last_scan, dev)
             self._model = prepare_reference_jit(scan_dev, self.cfg)
             if self._dnn is not None:
+                from icet_tpu.filters import model_voxel_samples_jit
+
                 self._scan_prev = scan_dev
+                self._samples_prev = model_voxel_samples_jit(
+                    self._model, scan_dev, self.cfg
+                )
         else:
             self._model = None
             self._scan_prev = None
+            self._samples_prev = None
 
     def _step_device(self, scan: np.ndarray) -> OdometryFrame | None:
         t0 = time.perf_counter()
         scan_dev = jnp.asarray(scan, jnp.float32)
         if self._model is None:
             self._model = prepare_reference_jit(scan_dev, self.cfg)
-            self._scan_prev = scan_dev if self._dnn is not None else None
+            if self._dnn is not None:
+                from icet_tpu.filters import model_voxel_samples_jit
+
+                self._scan_prev = scan_dev
+                self._samples_prev = model_voxel_samples_jit(
+                    self._model, scan_dev, self.cfg
+                )
             self._index += 1
             return None
 
@@ -156,11 +174,12 @@ class OdometryPipeline:
             from icet_tpu.filters import odometry_step_dnn_jit
 
             net, params = self._dnn
-            res, next_model = odometry_step_dnn_jit(
-                self._model, self._scan_prev, scan_dev, x0, self.cfg,
-                net, params,
+            res, next_model, next_samples = odometry_step_dnn_jit(
+                self._model, self._scan_prev, self._samples_prev, scan_dev,
+                x0, self.cfg, net, params,
             )
             self._scan_prev = scan_dev
+            self._samples_prev = next_samples
         else:
             res, next_model = odometry_step_jit(
                 self._model, scan_dev, x0, self.cfg

@@ -90,6 +90,13 @@ def restore_odometry(pipe, state: dict) -> None:
     pipe._X_prev = jnp.asarray(state["X_prev"])
     pipe._index = int(state["index"])
     pipe._model = None  # first scan after resume re-seeds the reference
+    # Device-loss recovery mirrors MUST match the restored pose: a dispatch
+    # failure before the first successful post-resume frame would otherwise
+    # make _recover() re-upload the reset() mirrors (identity pose) and
+    # silently snap the trajectory back to the origin.
+    pipe._T_host = np.asarray(state["T_world"])
+    pipe._X_host = np.asarray(state["X_prev"])
+    pipe._last_scan = None  # any pre-restore scan belongs to another run
 
 
 def map_state(mm) -> dict:
@@ -123,11 +130,8 @@ def keyframe_state(ko) -> dict:
         "T_key": np.asarray(ko._T_key),
         "x_rel": np.asarray(ko._x_rel),
         "delta": np.asarray(ko._delta),
-        "stds_rel": np.asarray(ko._stds_rel),
-        # -1 encodes "fresh keyframe, fraction test off" (None in-memory)
-        "n_corr0": np.asarray(
-            -1 if ko._n_corr0 is None else int(np.asarray(ko._n_corr0))
-        ),
+        # _stds_rel and _n_corr0 are NOT persisted: the mandatory
+        # resume-spawn resets both before any solve reads them.
         "index": np.asarray(ko._index),
         "key": np.asarray(ko._key),
         "kf_states": kf_states,
@@ -135,14 +139,17 @@ def keyframe_state(ko) -> dict:
     }
 
 
-def restore_keyframe(ko, state: dict) -> None:
+def restore_keyframe(ko, state: dict, replay_overlap: bool = False) -> None:
     """Restore a KeyframeOdometry.  The voxel model is not persisted (it is
     a pure function of the keyframe scan, which the block map only retains
     downsampled) — the first scan after resume spawns a NEW keyframe at the
     restored world pose and odometry continues from there.  Like
     restore_odometry's re-seed, that first scan's own inter-frame motion is
-    not registered: resume on the checkpointed frame itself (replay one
-    frame of overlap) to avoid the one-step trajectory gap."""
+    not registered: resume on the checkpointed frame itself
+    (``replay_overlap=True``) to avoid the one-step trajectory gap — that
+    flag also skips the resume spawn's map seed insert, since the replayed
+    frame's points are already in the restored block map (seeding again
+    would double-weight its geometry)."""
     from icet_tpu.keyframe import BlockMap
     from icet_tpu.ops.geometry import pose_matrix
 
@@ -156,15 +163,14 @@ def restore_keyframe(ko, state: dict) -> None:
     ko._T_key = np.asarray(state["T_key"])
     ko._x_rel = jnp.asarray(state["x_rel"])
     ko._delta = jnp.asarray(state["delta"])
-    ko._stds_rel = np.asarray(state["stds_rel"])
-    n0 = int(state["n_corr0"])
-    ko._n_corr0 = None if n0 < 0 else jnp.asarray(n0, jnp.int32)
     ko._index = int(state["index"])
     ko._key = jnp.asarray(state["key"])
     ko.keyframe_states = [s for s in np.asarray(state["kf_states"])]
     ko.keyframe_indices = [int(i) for i in np.asarray(state["kf_indices"])]
     ko._model = None
     ko._key_scan = None
+    ko._key_samples = None
+    ko._resume_seed_insert = not replay_overlap
     # The next scan must spawn at the restored pose, not the origin.
     ko._resume_T = ko._T_key @ np.asarray(
         pose_matrix(jnp.asarray(ko._x_rel))

@@ -219,6 +219,54 @@ def test_odometry_dnn_recovers_from_device_loss(monkeypatch):
         np.testing.assert_array_equal(a.T_world, b.T_world)
 
 
+def test_keyframe_recovers_from_device_loss(monkeypatch):
+    """The fused keyframe step DONATES the block map, so a failed dispatch
+    invalidates it — recovery must restore the newest host snapshot and
+    keep the stream going (trajectory resumes at the last completed pose,
+    not the origin)."""
+    import icet_tpu.keyframe as kf_mod
+    from icet_tpu.config import KeyframeConfig
+    from icet_tpu.keyframe import KeyframeOdometry
+
+    from icet_tpu.datasets.synthetic import simulate_scan
+
+    # 32x256 rays: enough per-voxel support on this grid to track motion
+    # (16x128 leaves most voxels under min_pts).
+    scans = [
+        np.asarray(
+            simulate_scan(pose_t=np.array([0.3 * k, 0, 0]), seed=7,
+                          n_beams=32, n_azimuth=256),
+            np.float32,
+        )
+        for k in range(8)
+    ]
+    kf_cfg = KeyframeConfig(spawn_distance=1.0, delta_clamp=2.0)
+    pipe = KeyframeOdometry(CFG, kf_cfg, snapshot_every=2)
+
+    real_step = kf_mod.keyframe_step_jit
+    calls = {"n": 0}
+
+    def flaky(*args, **kw):
+        calls["n"] += 1
+        if calls["n"] == 4:
+            raise RuntimeError("simulated device loss")
+        return real_step(*args, **kw)
+
+    monkeypatch.setattr(kf_mod, "keyframe_step_jit", flaky)
+    frames = [f for f in (pipe.step(s) for s in scans) if f is not None]
+
+    assert pipe.recoveries == 1
+    # The retried frame re-seeds (returns None), so one fewer frame.
+    assert len(frames) == len(scans) - 2
+    # Stream stays healthy and the trajectory did NOT snap to the origin:
+    # poses keep advancing past the failure point.
+    assert all(np.isfinite(f.T_world).all() for f in frames)
+    xs = [f.T_world[0, 3] for f in frames]
+    assert xs[-1] > xs[0], xs
+    # The block map is usable (not a donated/deleted buffer).
+    assert np.isfinite(np.asarray(pipe.blockmap.points)).all()
+
+
 def test_mapmaker_recovers_from_device_loss(monkeypatch):
     """The mapping pipeline restores the newest host snapshot of the ring
     map (+ PRNG key + model refit) and retries; with snapshot_every=1 the
