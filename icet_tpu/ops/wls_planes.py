@@ -157,12 +157,39 @@ def eigh3_planes(cov, sweeps=4, safeguard=True, rtol=1e-5, max_extra=2):
     return eigvals, basis
 
 
+def _mat_planes(m):
+    """(V, 3, 3) -> 3x3 list of (V,) planes; plane lists pass through.
+
+    The pass-through lets solver._iteration feed row slices of ONE packed
+    (rows, V) model buffer straight into the math — XLA keeps static slices
+    fused into their consumers (it never hoists them out of a while body as
+    separate buffers), so the GN loop body DMAs a single table instead of
+    ~15 separate (V,) planes per iteration."""
+    if isinstance(m, (list, tuple)):
+        return m
+    return [[m[:, i, j] for j in range(3)] for i in range(3)]
+
+
+def _vec3_planes(v):
+    """(V, 3) -> list of 3 (V,) planes; plane lists pass through."""
+    if isinstance(v, (list, tuple)):
+        return v
+    return [v[:, j] for j in range(3)]
+
+
 def residual_compact_planes(basis, lmask, mean1, mean2):
     """``diag(l) U^T (mu2 - mu1)`` as planes -> (V, 3) (the compact residual
-    used by the moving-object filter before the correspondence mask exists)."""
-    res = [mean2[:, j] - mean1[:, j] for j in range(3)]
+    used by the moving-object filter before the correspondence mask exists).
+
+    ``basis``/``lmask``/``mean1``/``mean2`` accept AoS arrays or plane
+    lists (see :func:`_mat_planes`)."""
+    B = _mat_planes(basis)
+    L = _vec3_planes(lmask)
+    M1 = _vec3_planes(mean1)
+    M2 = _vec3_planes(mean2)
+    res = [M2[j] - M1[j] for j in range(3)]
     out = [
-        lmask[:, i] * sum(basis[:, j, i] * res[j] for j in range(3))
+        L[i] * sum(B[j][i] * res[j] for j in range(3))
         for i in range(3)
     ]
     return jnp.stack(out, axis=-1)
@@ -172,7 +199,10 @@ _SYM6 = ((0, 3, 4), (3, 1, 5), (4, 5, 2))  # (i, j) -> packed cov6 column
 
 
 def _sym_planes(cov):
-    """(V, 3, 3) AoS or (V, 6) packed symmetric -> 3x3 list of (V,) planes."""
+    """(V, 3, 3) AoS or (V, 6) packed symmetric -> 3x3 list of (V,) planes;
+    plane lists pass through."""
+    if isinstance(cov, (list, tuple)):
+        return cov
     if cov.ndim == 3:
         return [[cov[:, i, j] for j in range(3)] for i in range(3)]
     return [[cov[:, _SYM6[i][j]] for j in range(3)] for i in range(3)]
@@ -184,12 +214,13 @@ def assemble_normal_equations(
     """Plane-form WLS assembly.
 
     Args:
-      basis: (V, 3, 3) eigenvectors-as-columns.
-      lmask: (V, 3) axis keep mask.
+      basis: (V, 3, 3) eigenvectors-as-columns, or a 3x3 plane list.
+      lmask: (V, 3) axis keep mask, or a 3-plane list.
       cov1/cov2: (V, 3, 3), or (V, 6) packed [xx, yy, zz, xy, xz, yz]
         (moments.finalize_moments_planes — keeps the hot path off the
-        3/128-lane AoS layout); count1/count2: (V,).
-      mean1/mean2: (V, 3).
+        3/128-lane AoS layout), or a symmetric 3x3 plane list;
+        count1/count2: (V,).
+      mean1/mean2: (V, 3), or 3-plane lists.
       dR: (3, 3, 3) rotation derivative scalars (dR[..., k] = dR/da_k).
       cm: (V,) f32 correspondence mask.
       rcond: pinv eigenvalue floor.
@@ -197,14 +228,18 @@ def assemble_normal_equations(
     Returns (HTWH (6, 6), HTWdz (6,), res_compact (V, 3)).
     """
     # Extract planes.
-    P = [[lmask[:, i] * basis[:, j, i] for j in range(3)] for i in range(3)]
+    B = _mat_planes(basis)
+    L = _vec3_planes(lmask)
+    M1 = _vec3_planes(mean1)
+    M2 = _vec3_planes(mean2)
+    P = [[L[i] * B[j][i] for j in range(3)] for i in range(3)]
     n1 = jnp.maximum(count1 - 1.0, 1.0)
     n2 = jnp.maximum(count2 - 1.0, 1.0)
     c1p = _sym_planes(cov1)
     c2p = _sym_planes(cov2)
     R = [[c1p[i][j] / n1 + c2p[i][j] / n2 for j in range(3)]
          for i in range(3)]
-    res = [mean2[:, j] - mean1[:, j] for j in range(3)]
+    res = [M2[j] - M1[j] for j in range(3)]
     res_c = [sum(P[i][j] * res[j] for j in range(3)) for i in range(3)]
 
     # R_proj = P R P^T
@@ -215,7 +250,7 @@ def assemble_normal_equations(
     W = _pinv3_planes(Rp, rcond)
 
     # H columns: 0..2 = -I; 3+k = dR_k @ mu2.
-    mu = [mean2[:, b] for b in range(3)]
+    mu = M2
     Hrot = [[sum(dR[a, b, k] * mu[b] for b in range(3)) for k in range(3)]
             for a in range(3)]
     # Hz[i][c]: c < 3 -> -P[i][c];  c >= 3 -> sum_a P[i][a] * Hrot[a][c-3]

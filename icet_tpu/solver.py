@@ -326,6 +326,53 @@ def _moment_method(cfg: ICETConfig) -> str:
 # ---------------------------------------------------------------------------
 
 
+def _pack_model_planes(model: VoxelModel) -> jax.Array:
+    """Pack every per-voxel table the GN iteration's post-stage reads into
+    ONE (24, V+1) f32 buffer (planes on sublanes, V on lanes).
+
+    The round-3 chip trace showed the while-loop body dominated by async
+    ``copy-start`` DMAs shuttling ~15 separate (V+1,) model tables between
+    memory spaces every iteration — each a latency-bound transfer.  Packed,
+    the body's loop-invariant model inputs become a single ~170 KB table
+    (24 rows = 3 whole (8, 128) sublane tiles): one DMA whose transfer time
+    is negligible next to the per-buffer latency it amortises.  Row slices
+    of the buffer are static slices, which XLA fuses into consumers inside
+    the loop body rather than hoisting into separate buffers.
+
+    Row layout: 0 valid, 1 count, 2-4 mean, 5-10 cov6 [xx yy zz xy xz yz],
+    11-19 basis row-major, 20-22 lmask, 23 model covariance yaw
+    (``_covariance_yaw(model.cov)``, loop-invariant — hoisted here so the
+    moving-object filter never touches the (V, 3, 3) AoS covariance inside
+    the loop)."""
+    dt = model.mean.dtype
+    cov = model.cov
+    c6 = [cov[:, 0, 0], cov[:, 1, 1], cov[:, 2, 2],
+          cov[:, 0, 1], cov[:, 0, 2], cov[:, 1, 2]]
+    rows = (
+        [model.valid.astype(dt), model.count.astype(dt)]
+        + [model.mean[:, j] for j in range(3)]
+        + c6
+        + [model.basis[:, i, j] for i in range(3) for j in range(3)]
+        + [model.lmask[:, i] for i in range(3)]
+        + [jnp.arctan2(-c6[3], c6[0])]
+    )
+    return jnp.stack(rows, axis=0)
+
+
+def _unpack_model_planes(packed: jax.Array):
+    """Inverse views of :func:`_pack_model_planes` rows (all fused slices):
+    (valid bool, count, mean planes, cov 3x3 plane list, basis plane list
+    ``B[i][j] = basis[:, i, j]``, lmask planes, model yaw plane)."""
+    p = packed
+    valid = p[0] > 0.5
+    count = p[1]
+    mean = [p[2], p[3], p[4]]
+    cov = [[p[5], p[8], p[9]], [p[8], p[6], p[10]], [p[9], p[10], p[7]]]
+    basis = [[p[11 + 3 * i + j] for j in range(3)] for i in range(3)]
+    lmask = [p[20 + i] for i in range(3)]
+    return valid, count, mean, cov, basis, lmask, p[23]
+
+
 def _covariance_yaw(cov: jax.Array) -> jax.Array:
     """Reference moving-object heuristic: treat the covariance's first row as
     a direction and take its yaw, ``atan2(-cov[0,1], cov[0,0])``
@@ -347,6 +394,7 @@ def _iteration(
     axis_name: str | None = None,
     corr_mask: jax.Array | None = None,
     U2_warm: jax.Array | None = None,
+    packed: jax.Array | None = None,
 ):
     method = _moment_method(cfg)
     if method == "fused":
@@ -381,7 +429,18 @@ def _iteration(
         count2, mean2, cov2 = m2.count, m2.mean, m2.cov
         win_ovf = jnp.int32(0)
 
-    corr = model.valid & (count2 >= cfg.min_pts)
+    if packed is not None:
+        # All post-stage model tables read from ONE packed buffer — a single
+        # loop-body DMA instead of ~15 (see _pack_model_planes).
+        valid1, count1, mean1, cov1, basis1, lmask1, yaw1 = (
+            _unpack_model_planes(packed)
+        )
+    else:
+        valid1, count1, mean1 = model.valid, model.count, model.mean
+        cov1, basis1, lmask1 = model.cov, model.basis, model.lmask
+        yaw1 = _covariance_yaw(model.cov)
+
+    corr = valid1 & (count2 >= cfg.min_pts)
     if corr_mask is not None:
         # External per-voxel rejection (e.g. the DNN perspective-shift
         # filter, reference ICET_spherical.py:380-383).
@@ -395,9 +454,7 @@ def _iteration(
         residual_compact_planes,
     )
 
-    res_compact = residual_compact_planes(
-        model.basis, model.lmask, model.mean, mean2
-    )
+    res_compact = residual_compact_planes(basis1, lmask1, mean1, mean2)
 
     # Moving-object rejection (reference ICET_spherical.py:175-285).
     n_rejected = jnp.zeros((), jnp.int32)
@@ -405,9 +462,7 @@ def _iteration(
         bad_res = jnp.any(
             jnp.abs(res_compact) > cfg.rm_residual_thresh, axis=-1
         )
-        yaw_delta = jnp.abs(
-            _covariance_yaw(model.cov) - _covariance_yaw(cov2)
-        )
+        yaw_delta = jnp.abs(yaw1 - _covariance_yaw(cov2))
         bad_yaw = yaw_delta > cfg.rm_yaw_thresh
         active = it >= cfg.rm_start_iter
         bad = corr & (bad_res | bad_yaw) & active
@@ -422,8 +477,8 @@ def _iteration(
 
     dR = rotation_jacobian(X[3:6])
     HTWH, HTWdz, _ = assemble_normal_equations(
-        model.basis, model.lmask, model.cov, model.count, cov2, count2,
-        model.mean, mean2, dR, cm, cfg.pinv_rcond,
+        basis1, lmask1, cov1, count1, cov2, count2,
+        mean1, mean2, dR, cm, cfg.pinv_rcond,
     )
 
     # Global condition pruning (reference checkCondition, icet.cpp:443-492 /
@@ -459,6 +514,38 @@ def _iteration(
         windowed_overflow=win_ovf,
     )
     return X_new, w6, keep, corr, U2, diag
+
+
+def _diag_pack(d: IterationDiag) -> jax.Array:
+    """IterationDiag -> (8,) f32 row (counts are exact in f32: all < 2^24).
+
+    The early-exit while_loop carries ONE (n_iters, 8) diagnostics buffer
+    instead of six separate (n_iters,) buffers — the round-3 chip trace
+    showed the loop body paying per-iteration async-copy latency on every
+    small carried buffer, so fewer carried buffers = fewer serialized DMAs.
+    8 columns keeps the row a power-of-two slice; 6 are used."""
+    z = jnp.zeros((), jnp.float32)
+    return jnp.stack([
+        d.n_corr.astype(jnp.float32),
+        d.condition.astype(jnp.float32),
+        d.dx_norm.astype(jnp.float32),
+        d.n_dropped_axes.astype(jnp.float32),
+        d.n_rejected_moving.astype(jnp.float32),
+        d.windowed_overflow.astype(jnp.float32),
+        z, z,
+    ])
+
+
+def _diag_unpack(rows: jax.Array) -> IterationDiag:
+    """(n, 8) packed rows (see :func:`_diag_pack`) -> stacked IterationDiag."""
+    return IterationDiag(
+        n_corr=rows[:, 0].astype(jnp.int32),
+        condition=rows[:, 1],
+        dx_norm=rows[:, 2],
+        n_dropped_axes=rows[:, 3].astype(jnp.int32),
+        n_rejected_moving=rows[:, 4].astype(jnp.int32),
+        windowed_overflow=rows[:, 5].astype(jnp.int32),
+    )
 
 
 def _predicted_covariance(w6, U2, keep, cfg: ICETConfig):
@@ -510,19 +597,23 @@ def register(
     cannot silently deactivate them.  May be a traced scalar when the
     early-exit while_loop is not in play (n_iters == 1 phases).
     """
+    # All post-stage model tables packed into one buffer: the GN loop body
+    # then DMAs a single table per iteration (see _pack_model_planes).
+    packed = _pack_model_planes(model)
+
     # Iteration 0 is unrolled: it runs the cold eigendecomposition and seeds
     # the warm eigenbasis carried through the scanned remaining iterations
     # (keeping the cold/warm branch out of the scan body).
     X1, w0, keep0, corr0, U2_0, diag0 = _iteration(
         model, scan2, x0.astype(scan2.dtype), it_offset, cfg, axis_name,
-        corr_mask, None
+        corr_mask, None, packed
     )
 
     def body(carry, it):
         X, _, _, _, U2_warm = carry
         X_new, w6, keep, corr, U2, diag = _iteration(
             model, scan2, X, it + it_offset, cfg, axis_name, corr_mask,
-            U2_warm
+            U2_warm, packed
         )
         return (X_new, w6, keep, corr, U2), diag
 
@@ -548,9 +639,10 @@ def register(
         else:
             min_it = 1
 
-        diag_buf = jax.tree_util.tree_map(
-            lambda v: jnp.zeros((n_it,) + v.shape, v.dtype).at[0].set(v),
-            diag0,
+        # One packed (n_it, 8) diagnostics carry instead of six (n_it,)
+        # buffers (see _diag_pack: fewer loop-carried DMAs per iteration).
+        diag_buf = jnp.zeros((n_it, 8), jnp.float32).at[0].set(
+            _diag_pack(diag0)
         )
 
         def w_cond(carry):
@@ -561,11 +653,9 @@ def register(
             it, (X, _, _, _, U2_warm), diags, _ = carry
             X_new, w6, keep, corr, U2, d = _iteration(
                 model, scan2, X, it + it_offset, cfg, axis_name, corr_mask,
-                U2_warm
+                U2_warm, packed
             )
-            diags = jax.tree_util.tree_map(
-                lambda buf, v: buf.at[it].set(v), diags, d
-            )
+            diags = diags.at[it].set(_diag_pack(d))
             return (
                 it + 1, (X_new, w6, keep, corr, U2), diags, d.dx_norm
             )
@@ -575,7 +665,7 @@ def register(
             w_cond, w_body, carry0
         )
         fill = jnp.minimum(jnp.arange(n_it), it_end - 1)
-        diags = jax.tree_util.tree_map(lambda buf: buf[fill], diags)
+        diags = _diag_unpack(diags[fill])
         pred_stds, Q = _predicted_covariance(w6, _U2, keep, cfg)
     elif cfg.n_iters > 1:
         (X, w6, keep, corr, _U2), diags_rest = jax.lax.scan(

@@ -49,7 +49,7 @@ def main():
     )
     from icet_tpu.ops.geometry import rotation_jacobian
     from icet_tpu.ops.linalg import eigh_small, eigh_small_warm_safe
-    from icet_tpu.solver import _iteration, prepare_reference
+    from icet_tpu.solver import _iteration, _pack_model_planes, prepare_reference
 
     s1 = np.load("/root/reference/src/sample_data/frame_804.npy").astype(np.float32)
     s2 = np.load("/root/reference/src/sample_data/frame_805.npy").astype(np.float32)
@@ -71,6 +71,28 @@ def main():
                 X, U2w = carry
                 Xn, _, _, _, U2, _ = _iteration(
                     model, scan2, X, it, cfg, None, None, U2w
+                )
+                return (Xn, U2), None
+
+            (xf, _), _ = jax.lax.scan(
+                body, (x, jnp.eye(6)), jnp.arange(1, chain + 1)
+            )
+            return xf
+
+        return g
+
+    # --- full iteration, post-stage tables packed into one buffer ---
+    packed0 = jax.jit(_pack_model_planes)(model)
+    jax.block_until_ready(packed0)
+
+    def make_full_packed(chain):
+        def g(scan2, x):
+            packed = _pack_model_planes(model)
+
+            def body(carry, it):
+                X, U2w = carry
+                Xn, _, _, _, U2, _ = _iteration(
+                    model, scan2, X, it, cfg, None, None, U2w, packed
                 )
                 return (Xn, U2), None
 
@@ -156,6 +178,7 @@ def main():
 
     for name, make, args in [
         ("full_iteration", make_full, (c2, x0)),
+        ("full_iteration_packed", make_full_packed, (c2, x0)),
         ("windowed_sums", make_sums, (c2, x0)),
         ("post_sums(finalize+asm+eigh)", make_post, (c2, x0)),
         ("assemble_normals", make_asm, (c2, x0)),
