@@ -87,6 +87,17 @@ class ICETConfig:
     #: scale (in sigma) for the extended-surface endpoint test.  C++ uses 2.0
     #: (icet.cpp:191), Python uses 3.0 (ICET_spherical.py:541).  Default 2.0.
     sigma_scale: float = 2.0
+    #: extended-surface suppression mode.  "endpoint" (default): the sigma
+    #: endpoint test used by both reference main paths (icet.cpp:186-233 /
+    #: ICET_spherical.py:522-585).  "ndt": the legacy eigenvalue-threshold
+    #: test of the reference's get_U_and_L(method=0) "NDT override"
+    #: (ICET_spherical.py:682-716) — axis k is pruned when any Cartesian
+    #: component of |u_k| * lambda_k exceeds the voxel's radial width
+    #: squared.  In "fixed" radial mode the width is the shell width, exactly
+    #: the reference's diff(unique grid r); in adaptive mode the voxel's own
+    #: cluster-bound width is the natural analog (documented deviation — the
+    #: legacy reference path only ran on the fixed grid).
+    suppression: str = "endpoint"
     #: condition-number cutoff for global axis pruning.  C++ uses 1e6
     #: (icet.cpp:453), Python 1e7 (ICET_spherical.py:783).  Default 1e6.
     condition_cutoff: float = 1e6

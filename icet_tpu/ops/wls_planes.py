@@ -166,6 +166,8 @@ def _mat_planes(m):
     separate buffers), so the GN loop body DMAs a single table instead of
     ~15 separate (V,) planes per iteration."""
     if isinstance(m, (list, tuple)):
+        assert len(m) == 3 and all(len(r) == 3 for r in m), (
+            "plane-list matrix must be a 3x3 nested list of (V,) planes")
         return m
     return [[m[:, i, j] for j in range(3)] for i in range(3)]
 
@@ -173,6 +175,7 @@ def _mat_planes(m):
 def _vec3_planes(v):
     """(V, 3) -> list of 3 (V,) planes; plane lists pass through."""
     if isinstance(v, (list, tuple)):
+        assert len(v) == 3, "plane-list vector must be 3 (V,) planes"
         return v
     return [v[:, j] for j in range(3)]
 
@@ -202,6 +205,8 @@ def _sym_planes(cov):
     """(V, 3, 3) AoS or (V, 6) packed symmetric -> 3x3 list of (V,) planes;
     plane lists pass through."""
     if isinstance(cov, (list, tuple)):
+        assert len(cov) == 3 and all(len(r) == 3 for r in cov), (
+            "plane-list matrix must be a 3x3 nested list of (V,) planes")
         return cov
     if cov.ndim == 3:
         return [[cov[:, i, j] for j in range(3)] for i in range(3)]

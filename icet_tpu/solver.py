@@ -128,6 +128,28 @@ def _sigma_axis_mask(model_mean, eigvals, basis, bounds, valid, cfg: ICETConfig)
     return jnp.where(valid[:, None], keep.astype(model_mean.dtype), 0.0)
 
 
+def _ndt_axis_mask(eigvals, basis, bounds, valid, cfg: ICETConfig):
+    """Legacy NDT-style suppression: per-axis eigenvalue threshold.
+
+    Reference ``get_U_and_L(method=0)`` with its final "NDT override"
+    thresholds (ICET_spherical.py:682-716): axis k of a voxel is pruned when
+    ANY Cartesian component of ``|U[:, k]| * lambda_k`` exceeds the voxel's
+    radial width squared (there: ``diff(unique(grid_r))[shell]**2``, the
+    fixed-shell width; here: ``bounds[:, 1] - bounds[:, 0]``, identical on
+    the fixed grid and the per-voxel analog on adaptive cluster bounds).
+    Unlike the endpoint test this never looks at the mean's position in the
+    frustum — a big surface crossing the voxel center survives if its
+    variance is small enough.
+    """
+    width = bounds[:, 1] - bounds[:, 0]  # (V+1,)
+    thr = width * width
+    # rotated[v, i, k] = |U[v, i, k]| * lambda_k  (reference |U @ diag(lam)|)
+    rotated = jnp.abs(basis) * jnp.maximum(eigvals, 0.0)[:, None, :]
+    extended = jnp.any(rotated > thr[:, None, None], axis=1)  # (V+1, 3)
+    keep = ~extended
+    return jnp.where(valid[:, None], keep.astype(eigvals.dtype), 0.0)
+
+
 def prepare_reference(
     scan1: jax.Array, cfg: ICETConfig, axis_name: str | None = None
 ) -> VoxelModel:
@@ -249,9 +271,12 @@ def prepare_reference(
     from icet_tpu.ops.wls_planes import eigh3_planes
 
     eigvals, basis = eigh3_planes(cov6 if cov6 is not None else moments.cov)
-    lmask = _sigma_axis_mask(
-        moments.mean, eigvals, basis, clusters.bounds, valid, cfg
-    )
+    if cfg.suppression == "ndt":
+        lmask = _ndt_axis_mask(eigvals, basis, clusters.bounds, valid, cfg)
+    else:
+        lmask = _sigma_axis_mask(
+            moments.mean, eigvals, basis, clusters.bounds, valid, cfg
+        )
 
     return VoxelModel(
         bounds=clusters.bounds,
@@ -344,7 +369,10 @@ def _pack_model_planes(model: VoxelModel) -> jax.Array:
     (``_covariance_yaw(model.cov)``, loop-invariant — hoisted here so the
     moving-object filter never touches the (V, 3, 3) AoS covariance inside
     the loop)."""
-    dt = model.mean.dtype
+    # Always pack in f32 regardless of the scan dtype: counts above 2048
+    # would silently round in f16/bf16 means, corrupting the 1/(n-1) noise
+    # weights (ADVICE r3).  f32 holds exact integers to 2^24.
+    dt = jnp.promote_types(model.mean.dtype, jnp.float32)
     cov = model.cov
     c6 = [cov[:, 0, 0], cov[:, 1, 1], cov[:, 2, 2],
           cov[:, 0, 1], cov[:, 0, 2], cov[:, 1, 2]]

@@ -289,3 +289,56 @@ class TestConvergenceEarlyExit:
         )
         rejected = np.asarray(res.diagnostics.n_rejected_moving)
         assert rejected[-1] >= 1, rejected
+
+
+class TestNdtSuppression:
+    """Legacy NDT-threshold axis suppression (cfg.suppression="ndt"),
+    reference get_U_and_L(method=0) "NDT override"
+    (ICET_spherical.py:682-716)."""
+
+    def test_formula_matches_reference_math(self):
+        # Independent numpy re-derivation of the TF reference:
+        #   rotated = |U @ diag(lambda)|; keep axis k iff
+        #   all_i rotated[i, k] <= width(shell)**2.
+        from icet_tpu.solver import _ndt_axis_mask
+
+        rng = np.random.default_rng(11)
+        V = 17
+        A = rng.normal(size=(V, 3, 3))
+        cov = A @ np.transpose(A, (0, 2, 1))
+        eigvals, basis = np.linalg.eigh(cov)
+        bounds = np.stack(
+            [rng.uniform(1, 5, V), rng.uniform(5, 9, V)], axis=-1
+        )
+        valid = rng.uniform(size=V) > 0.2
+        cfg = SYN_CFG
+        got = np.asarray(_ndt_axis_mask(
+            jnp.asarray(eigvals), jnp.asarray(basis), jnp.asarray(bounds),
+            jnp.asarray(valid), cfg,
+        ))
+        thr = (bounds[:, 1] - bounds[:, 0]) ** 2
+        rotated = np.abs(basis * eigvals[:, None, :])  # U @ diag(lam)
+        want = (~np.any(rotated > thr[:, None, None], axis=1)) & valid[:, None]
+        np.testing.assert_array_equal(got, want.astype(got.dtype))
+
+    def test_pancake_vs_blob(self):
+        # A huge flat surface keeps only its normal axis; a compact blob
+        # keeps all three.
+        from icet_tpu.solver import _ndt_axis_mask
+
+        eigvals = jnp.asarray([[25.0, 25.0, 1e-4], [1e-3, 1e-3, 1e-3]])
+        basis = jnp.tile(jnp.eye(3)[None], (2, 1, 1))
+        bounds = jnp.asarray([[2.0, 3.0], [2.0, 3.0]])  # width 1 -> thr 1
+        valid = jnp.asarray([True, True])
+        m = np.asarray(_ndt_axis_mask(eigvals, basis, bounds, valid, SYN_CFG))
+        np.testing.assert_array_equal(m[0], [0.0, 0.0, 1.0])
+        np.testing.assert_array_equal(m[1], [1.0, 1.0, 1.0])
+
+    def test_registration_still_converges(self):
+        X_true = np.array([0.1, -0.05, 0.02, 0.01, -0.005, 0.004])
+        res = _register_synthetic(
+            X_true, seed=6, cfg=SYN_CFG.replace(suppression="ndt")
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.X), X_true, atol=5e-2
+        )

@@ -19,7 +19,8 @@ OUT=${1:-/tmp/on_chip_$(date +%s)}
 mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
 
-timeout 70 python -c "
+# 150s: slow-mode tunnel days (round 4) take ~60s just for backend init.
+timeout 150 python -c "
 import jax, jax.numpy as jnp
 print('PROBE_OK', (jnp.ones((8,8))@jnp.ones((8,8))).sum(), jax.devices()[0].platform)
 " > "$OUT/probe.log" 2>&1 || { echo "tunnel still dead; see $OUT/probe.log"; exit 1; }
