@@ -55,6 +55,7 @@ def _fence_scene():
     )
 
 
+@pytest.mark.slow
 def test_in_loop_matches_one_shot_on_static_scene():
     """On a static scene the per-iteration mask is stable, so reference
     in-loop semantics and the one-shot phase-boundary rejection agree."""
@@ -80,6 +81,7 @@ def test_in_loop_matches_one_shot_on_static_scene():
                                atol=0.01)
 
 
+@pytest.mark.slow
 def test_in_loop_keeps_moving_object_rejection_active():
     """Phase-split solves carry the GLOBAL iteration index (it_offset), so
     moving-object rejection stays active through the filtered iterations —

@@ -74,6 +74,7 @@ def test_probe_devices_mixed_hang_and_healthy():
     assert healthy == [d for d in devs if d.id % 2 == 1]
 
 
+@pytest.mark.slow
 def test_elastic_run(batch):
     s1, s2, x0, X_true = batch
     runner = ElasticRegistrationRunner(CFG, prefer_dp=2)
@@ -83,6 +84,7 @@ def test_elastic_run(batch):
     np.testing.assert_allclose(res.X[0][:2], X_true[:2], atol=0.05)
 
 
+@pytest.mark.slow
 def test_elastic_pads_odd_batch(batch):
     s1, s2, x0, X_true = batch
     runner = ElasticRegistrationRunner(CFG, prefer_dp=2)
@@ -96,6 +98,7 @@ def test_elastic_pads_odd_batch(batch):
     np.testing.assert_allclose(res.X[2], res.X[0], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_elastic_recovers_from_device_loss(batch, monkeypatch):
     s1, s2, x0, X_true = batch
     runner = ElasticRegistrationRunner(CFG, prefer_dp=2)
@@ -153,6 +156,7 @@ def _drive_scans(n=6):
     return scans
 
 
+@pytest.mark.slow
 def test_odometry_pipeline_recovers_from_device_loss(monkeypatch):
     """A failed dispatch mid-stream must not kill streaming odometry: the
     pipeline refits the model from the retained scan + host pose mirrors and
@@ -185,6 +189,7 @@ def test_odometry_pipeline_recovers_from_device_loss(monkeypatch):
         assert a.diverged == b.diverged
 
 
+@pytest.mark.slow
 def test_odometry_dnn_recovers_from_device_loss(monkeypatch):
     """The DNN-filtered pipeline's recovery must also restore the previous
     scan (the filter samples it per voxel) — the recovered run is
@@ -219,6 +224,7 @@ def test_odometry_dnn_recovers_from_device_loss(monkeypatch):
         np.testing.assert_array_equal(a.T_world, b.T_world)
 
 
+@pytest.mark.slow
 def test_keyframe_recovers_from_device_loss(monkeypatch):
     """The fused keyframe step DONATES the block map, so a failed dispatch
     invalidates it — recovery must restore the newest host snapshot and
@@ -267,6 +273,7 @@ def test_keyframe_recovers_from_device_loss(monkeypatch):
     assert np.isfinite(np.asarray(pipe.blockmap.points)).all()
 
 
+@pytest.mark.slow
 def test_mapmaker_recovers_from_device_loss(monkeypatch):
     """The mapping pipeline restores the newest host snapshot of the ring
     map (+ PRNG key + model refit) and retries; with snapshot_every=1 the

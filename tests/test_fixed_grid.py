@@ -50,6 +50,7 @@ def test_voxel_count():
     assert FIXED.n_voxels == 40 * 48 * 16
 
 
+@pytest.mark.slow
 def test_fixed_mode_recovers_transform():
     X_true = np.array([0.4, 0.2, 0.0, 0.0, 0.0, 0.02], np.float32)
     scan1, scan2 = scan_pair_with_ground_truth(X_true, seed=3)

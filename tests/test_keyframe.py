@@ -38,6 +38,7 @@ def trajectory():
     return list(src)
 
 
+@pytest.mark.slow
 def test_keyframe_odometry_tracks_and_spawns(trajectory):
     kf = KeyframeOdometry(
         CFG,
@@ -76,6 +77,7 @@ def test_keyframe_odometry_tracks_and_spawns(trajectory):
     assert np.abs(mp[:, 0]).max() < 31.0 and np.abs(mp[:, 1]).max() < 26.0
 
 
+@pytest.mark.slow
 def test_keyframe_delta_guard(trajectory):
     # An impossible clamp forces every frame into the diverged fallback:
     # the prediction is used and the pipeline keeps running.
@@ -159,6 +161,7 @@ def test_blockmap_world_roundtrip():
     )
 
 
+@pytest.mark.slow
 def test_blockmap_sharded_matches_single_device():
     """Same insert/spawn/export results with the block axis sharded over 8
     devices (the city-scale map sharding path, SURVEY.md section 5.7)."""

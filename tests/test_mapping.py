@@ -68,6 +68,7 @@ def test_map_update_short_scan_marks_invalid():
     assert int(np.asarray(state.valid).sum()) == 300
 
 
+@pytest.mark.slow
 def test_map_step_jit_matches_unfused_trio():
     """The fused single-dispatch mapping step must reproduce the unfused
     register -> guard -> map_update -> prepare sequence bit-for-bit."""
@@ -121,6 +122,7 @@ def test_map_step_jit_matches_unfused_trio():
     np.testing.assert_array_equal(np.asarray(X_g), np.zeros(6, np.float32))
 
 
+@pytest.mark.slow
 def test_mapmaker_accumulates_consistent_map():
     src = SyntheticTrajectorySource(
         n_frames=5, speed=0.2, yaw_rate=0.0, n_beams=48, n_azimuth=512

@@ -56,6 +56,7 @@ def test_pack_voxel_samples_invariance():
     np.testing.assert_allclose(np.asarray(packed[..., 16:, 3]), 1.0)
 
 
+@pytest.mark.slow
 def test_train_step_decreases_loss():
     model, tx, state = create_train_state(jax.random.PRNGKey(0), sample_pts=32)
     key = jax.random.PRNGKey(1)
@@ -90,6 +91,7 @@ def test_sample_voxel_points_dense():
         assert tuple(p) in vset
 
 
+@pytest.mark.slow
 def test_dnn_filter_end_to_end(trained):
     model, params = trained
     X_true = np.array([0.3, 0.1, 0.0, 0.0, 0.0, 0.01], np.float32)
@@ -151,6 +153,7 @@ def test_dnn_filter_reduces_perspective_shift_error():
     assert np.mean(dnn_errs) < np.mean(plain_errs), (plain_errs, dnn_errs)
 
 
+@pytest.mark.slow
 def test_register_scans_honors_dnn_filter_knob():
     """cfg.dnn_filter routes the top-level entry through the DNN path."""
     from icet_tpu.filters import register_scans
@@ -171,6 +174,7 @@ def test_register_scans_honors_dnn_filter_knob():
     np.testing.assert_allclose(np.asarray(res_on.X)[:3], X_true[:3], atol=0.05)
 
 
+@pytest.mark.slow
 def test_load_pretrained_weights():
     from icet_tpu.models.bias_net import load_pretrained, make_patch_batch
     import jax
@@ -184,6 +188,7 @@ def test_load_pretrained_weights():
     assert mae < 0.12, mae
 
 
+@pytest.mark.slow
 def test_raycast_training_data():
     from icet_tpu.models.train_data import (
         make_raycast_voxel_pairs,

@@ -82,6 +82,7 @@ def test_prefetcher_loop_repeat(tmp_path, rng):
     assert len(list(src)) == 6
 
 
+@pytest.mark.slow
 def test_prefetcher_feeds_solver(tmp_path):
     """End-to-end: native ingest queue -> odometry pipeline."""
     from icet_tpu.config import ICETConfig

@@ -24,6 +24,7 @@ def trajectory():
     return list(src)
 
 
+@pytest.mark.slow
 def test_odometry_tracks_ground_truth(trajectory):
     pipe = OdometryPipeline(CFG, OdometryConfig(warm_start=True))
     frames = list(pipe.run(scan for scan, _ in trajectory))
@@ -42,6 +43,7 @@ def test_odometry_tracks_ground_truth(trajectory):
     assert ang < 0.02
 
 
+@pytest.mark.slow
 def test_odometry_frame_fields(trajectory):
     pipe = OdometryPipeline(CFG)
     f = None

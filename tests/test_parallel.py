@@ -42,6 +42,7 @@ def test_device_count():
 
 
 @pytest.mark.parametrize("dp,sp", [(1, 8), (2, 4), (2, 1)])
+@pytest.mark.slow
 def test_sharded_matches_single_device(batch, dp, sp):
     scans1, scans2, xs_true = batch
     mesh = registration_mesh(dp=dp, sp=sp, devices=jax.devices()[: dp * sp])
@@ -75,6 +76,7 @@ def test_sharded_matches_single_device(batch, dp, sp):
     np.testing.assert_allclose(X[:, 3:], xs_true[:, 3:], atol=0.01)
 
 
+@pytest.mark.slow
 def test_diagnostics_replicated(batch):
     scans1, scans2, _ = batch
     mesh = registration_mesh(dp=2, sp=4)
@@ -140,6 +142,7 @@ def test_distributed_clustering_bitmatches_replicated(batch, capacity_factor):
     )
 
 
+@pytest.mark.slow
 def test_sharded_register_uses_distributed_clustering(batch):
     """End-to-end: the sp-sharded registration (which now clusters via
     all_to_all instead of gathering the cloud) still matches single-device."""

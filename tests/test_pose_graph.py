@@ -158,6 +158,7 @@ def test_sparse_matches_dense(rng):
     np.testing.assert_allclose(sparse, dense, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_sparse_scales_to_10k_poses(rng):
     """A 10k-pose graph with loop closures optimizes in seconds on CPU and
     actually reduces trajectory error (the dense path would need a 60k x 60k
@@ -278,6 +279,7 @@ def test_detect_loop_candidates_topk_matches_bruteforce(rng):
     assert detect_loop_candidates(pos, radius, min_gap, k=k) == brute
 
 
+@pytest.mark.slow  # wall-clock assert: unreliable under xdist contention
 def test_detect_loop_candidates_city_scale_is_fast():
     """100k poses at realistic keyframe spacing resolve in well under a
     second (VERDICT r2 #8).  A 200 km out-and-back: the return pass drives
@@ -371,6 +373,7 @@ def test_robust_kernel_resists_outlier_loop(rng):
     np.testing.assert_allclose(huber_clean, clean, atol=5e-2)
 
 
+@pytest.mark.slow
 def test_sparse_sharded_matches_single_device(rng):
     """Factor-sharded block-sparse PCG over an 8-device mesh must agree with
     the single-device sparse path (same math, psum-assembled normals)."""

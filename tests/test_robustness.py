@@ -29,12 +29,14 @@ def _finite(res):
     assert np.isfinite(np.asarray(res.Q)).all()
 
 
+@pytest.mark.slow
 def test_all_padding():
     res = _solve(np.zeros((4096, 3)), np.zeros((4096, 3)))
     _finite(res)
     np.testing.assert_allclose(np.asarray(res.X), 0.0)
 
 
+@pytest.mark.slow
 def test_single_plane_scene(rng):
     """A lone ground plane: translation in-plane and yaw are unobservable;
     the condition pruning must suppress them without NaNs."""
@@ -55,12 +57,14 @@ def test_single_plane_scene(rng):
     assert np.asarray(res.pred_stds).max() > 0.1
 
 
+@pytest.mark.slow
 def test_tiny_cloud(rng):
     pts = rng.normal(size=(64, 3)).astype(np.float32) * 10
     res = _solve(pts, pts)
     _finite(res)
 
 
+@pytest.mark.slow
 def test_duplicated_points(rng):
     p = rng.normal(size=(1, 3)).astype(np.float32) * 10 + 20
     pts = np.repeat(p, 4096, axis=0)  # zero covariance everywhere

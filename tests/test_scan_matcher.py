@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 
 from icet_tpu.config import ICETConfig
@@ -10,6 +11,7 @@ CFG = ICETConfig(
 )
 
 
+@pytest.mark.slow
 def test_scan_matcher_aligns_frames():
     sm = ScanMatcher(CFG, min_points=100)
     s0 = simulate_scan(seed=0, n_beams=32, n_azimuth=256)

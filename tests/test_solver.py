@@ -29,6 +29,7 @@ class TestKnownTransformRecovery:
     fake_lidar.py:177-178, automated: register scans with exact synthetic
     ground truth and require recovery."""
 
+    @pytest.mark.slow
     def test_identity(self):
         res = _register_synthetic(np.zeros(6))
         np.testing.assert_allclose(np.asarray(res.X)[:3], 0.0, atol=5e-3)
@@ -43,6 +44,7 @@ class TestKnownTransformRecovery:
             [0.4, 0.2, -0.05, 0.01, -0.01, 0.02],
         ],
     )
+    @pytest.mark.slow
     def test_recovers_transform(self, X_true):
         res = _register_synthetic(X_true)
         X = np.asarray(res.X)
@@ -126,6 +128,7 @@ class TestVoxelModel:
 
 
 class TestMovingObjectRejection:
+    @pytest.mark.slow
     def test_moving_cluster_rejected(self):
         X_true = np.zeros(6)
         scan1, scan2 = scan_pair_with_ground_truth(X_true, seed=3)
@@ -221,6 +224,7 @@ class TestConvergenceEarlyExit:
     """The lax.while_loop early-exit path (convergence_tol > 0) — the
     default odometry profile and the headline benchmark configuration."""
 
+    @pytest.mark.slow
     def test_matches_fixed_runlen(self):
         X_true = np.array([0.25, 0.1, 0.02, 0.01, -0.005, 0.02], np.float32)
         scan1, scan2 = scan_pair_with_ground_truth(X_true, seed=4)
@@ -240,6 +244,7 @@ class TestConvergenceEarlyExit:
         )
         assert np.isfinite(np.asarray(early.Q)).all()
 
+    @pytest.mark.slow
     def test_converged_branch_diagnostics(self):
         """Warm-started at the solution the loop must actually exit early,
         and skipped diagnostic slots must repeat the LAST EXECUTED values
@@ -267,6 +272,7 @@ class TestConvergenceEarlyExit:
             np.asarray(res.X), np.asarray(full.X), atol=2e-4
         )
 
+    @pytest.mark.slow
     def test_early_exit_cannot_skip_moving_object_rejection(self):
         """A converged warm start must not exit before rm_start_iter when
         remove_moving is on — the rejection would silently never run."""
@@ -334,6 +340,7 @@ class TestNdtSuppression:
         np.testing.assert_array_equal(m[0], [0.0, 0.0, 1.0])
         np.testing.assert_array_equal(m[1], [1.0, 1.0, 1.0])
 
+    @pytest.mark.slow
     def test_registration_still_converges(self):
         X_true = np.array([0.1, -0.05, 0.02, 0.01, -0.005, 0.004])
         res = _register_synthetic(

@@ -143,6 +143,7 @@ def test_odometry_checkpoint_resume(tmp_path):
     assert f is not None and np.isfinite(f.X).all()
 
 
+@pytest.mark.slow
 def test_keyframe_checkpoint_resume(tmp_path):
     from icet_tpu.config import KeyframeConfig
     from icet_tpu.datasets.synthetic import simulate_scan
@@ -184,6 +185,7 @@ def test_keyframe_checkpoint_resume(tmp_path):
     np.testing.assert_allclose(f5.T_world[0, 3], 1.2, atol=0.1)
 
 
+@pytest.mark.slow
 def test_map_checkpoint_resume(tmp_path):
     from icet_tpu.config import MapConfig
     from icet_tpu.datasets.synthetic import simulate_scan

@@ -61,6 +61,7 @@ def test_windowed_detects_shuffled(scene, rng):
     assert int(ovf) > 0  # must flag, so the solver falls back
 
 
+@pytest.mark.slow
 def test_fused_solver_path_matches_segsum():
     X_true = np.array([0.3, 0.1, 0.0, 0.0, 0.0, 0.01], np.float32)
     # Prime azimuth count: no ray lands exactly on a theta-bin edge, so
