@@ -69,6 +69,12 @@ class KittiOdometrySource:
     ``beam_major="auto"`` re-strides azimuth-major scans so the solver's
     windowed fast path engages (pure permutation — registration results
     are order-invariant; unordered clouds fall back correctly either way).
+
+    ``prefetch="auto"`` reads scan files through the native C prefetch
+    queue (file IO + padding overlap the consumer's solves in producer
+    pthreads, icet_tpu/native/icet_native.c) when the extension builds,
+    falling back to in-process numpy reads; ``True`` requires it,
+    ``False`` disables it.
     """
 
     def __init__(
@@ -79,6 +85,7 @@ class KittiOdometrySource:
         beam_major: str | bool = "auto",
         start: int = 0,
         end: int | None = None,
+        prefetch: str | bool = "auto",
     ):
         self.velodyne_dir = os.path.join(sequence_dir, "velodyne")
         self.files = sorted(
@@ -90,6 +97,14 @@ class KittiOdometrySource:
             raise FileNotFoundError(f"no .bin scans under {self.velodyne_dir}")
         self.max_points = max_points
         self.beam_major = beam_major
+        self.prefetch = prefetch
+        if prefetch is True:
+            from icet_tpu.native import ensure_built
+
+            if ensure_built() is None:
+                raise RuntimeError(
+                    "prefetch=True but the native extension is unavailable"
+                )
 
         self.poses: np.ndarray | None = None
         if poses_file is not None:
@@ -113,11 +128,37 @@ class KittiOdometrySource:
                 return out
         return scan
 
+    def _iter_scans(self) -> Iterator[np.ndarray]:
+        if self.prefetch:
+            from icet_tpu.native import ensure_built
+
+            native = ensure_built(quiet=True)
+            if native is not None:
+                q = native.make_prefetcher(
+                    paths=self.files, max_points=self.max_points,
+                    n_threads=2, depth=4, loop=False, repeat=0,
+                )
+                try:
+                    while True:
+                        try:
+                            scan, _n = q.next_scan()
+                        except StopIteration:
+                            return
+                        yield scan
+                finally:
+                    q.close()
+                return
+            if self.prefetch is True:
+                raise RuntimeError(
+                    "prefetch=True but the native extension is unavailable"
+                )
+        for path in self.files:
+            yield load_kitti_bin(path, self.max_points)
+
     def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray | None]]:
-        for i, path in enumerate(self.files):
-            scan = self._canonicalize(load_kitti_bin(path, self.max_points))
+        for i, scan in enumerate(self._iter_scans()):
             T = None if self.poses is None else self.poses[i]
-            yield scan, T
+            yield self._canonicalize(scan), T
 
 
 def write_kitti_sequence(

@@ -150,3 +150,28 @@ class TestEvalHarness:
         assert summary["ate_odometry_cm"] <= (
             2.0 * summary["oracle"]["ate_cm"] + 1.0
         ), summary
+
+
+def test_native_prefetch_matches_python_loader(rng, tmp_path):
+    """prefetch="auto"/True streams .bin files through the native C queue;
+    scans must be bit-identical to the in-process numpy reads."""
+    pytest.importorskip("ctypes")
+    from icet_tpu.native import ensure_built
+
+    if ensure_built() is None:
+        pytest.skip("native extension unavailable")
+    scans = [
+        rng.normal(0, 10, (40 + 8 * i, 3)).astype(np.float32)
+        for i in range(5)
+    ]
+    poses = [np.eye(4)] * 5
+    d = write_kitti_sequence(str(tmp_path / "seq"), scans, poses)
+    a = KittiOdometrySource(d, max_points=128, beam_major=False,
+                            prefetch=True)
+    b = KittiOdometrySource(d, max_points=128, beam_major=False,
+                            prefetch=False)
+    n = 0
+    for (sa, _), (sb, _) in zip(a, b):
+        np.testing.assert_array_equal(sa, sb)
+        n += 1
+    assert n == 5

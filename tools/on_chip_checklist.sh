@@ -19,11 +19,20 @@ OUT=${1:-/tmp/on_chip_$(date +%s)}
 mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
 
-# 150s: slow-mode tunnel days (round 4) take ~60s just for backend init.
-timeout 150 python -c "
+# 150s: slow-mode tunnel days take ~60s just for backend init.  3 tries in
+# fresh processes: the first device sync can hang per-process (CLAUDE.md);
+# a hang is not "dead", the next process usually connects.
+ok=0
+for try in 1 2 3; do
+  timeout 150 python -c "
 import jax, jax.numpy as jnp
-print('PROBE_OK', (jnp.ones((8,8))@jnp.ones((8,8))).sum(), jax.devices()[0].platform)
-" > "$OUT/probe.log" 2>&1 || { echo "tunnel still dead; see $OUT/probe.log"; exit 1; }
+x = (jnp.ones((8,8))@jnp.ones((8,8))).sum()
+x.block_until_ready()
+print('PROBE_OK', float(x), jax.devices()[0].platform)
+" > "$OUT/probe.log" 2>&1 && { ok=1; break; }
+  echo "probe try $try failed/hung; retrying in fresh process"
+done
+[ "$ok" = 1 ] || { echo "tunnel dead after 3 probes; see $OUT/probe.log"; exit 1; }
 
 # bench.py's own orchestrator worst case is 2 probes x 60s + 2 workers x
 # 2400s; the outer timeout must exceed that or it kills the retry mid-way
