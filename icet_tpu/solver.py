@@ -646,7 +646,8 @@ def register(
         return (X_new, w6, keep, corr, U2), diag
 
     init = (X1, w0, keep0, corr0, U2_0)
-    if cfg.n_iters > 1 and cfg.convergence_tol > 0.0:
+    stat_scale = cfg.convergence_stat_scale
+    if cfg.n_iters > 1 and (cfg.convergence_tol > 0.0 or stat_scale > 0.0):
         # Early exit: run iterations under lax.while_loop until |dx| < tol
         # (n_iters stays the hard cap).  Under vmap the loop runs until all
         # lanes converge; under shard_map every device sees the same
@@ -673,23 +674,51 @@ def register(
             _diag_pack(diag0)
         )
 
+        def _exit_thresh(w6, U2, keep):
+            """Per-iteration step-norm exit threshold.
+
+            max(tol, stat_scale * |stds|): the statistical exit stops
+            refining once the step falls below the solve's own predicted
+            standard error (6x6 math, negligible next to the iteration).
+            Uses the UNINFLATED stds (sqrt diag Q, identifiable axes only;
+            dropped axes contribute zero) — the dx step also never moves
+            along pruned axes, and the dropped-axis inflation of
+            _predicted_covariance would otherwise trigger premature exits
+            in degenerate scenes exactly where more iterations still help
+            the identifiable components.
+            """
+            t = jnp.asarray(tol, w6.dtype)
+            if stat_scale > 0.0:
+                wmax = jnp.max(jnp.abs(w6))
+                inv_ok = jnp.abs(w6) > cfg.pinv_rcond * wmax
+                inv = jnp.where(inv_ok, 1.0 / jnp.where(inv_ok, w6, 1.0), 0.0)
+                var = jnp.sum(U2 * U2 * inv[None, :], axis=1)
+                t = jnp.maximum(
+                    t, stat_scale * jnp.sqrt(jnp.sum(jnp.abs(var)))
+                )
+            return t
+
         def w_cond(carry):
-            it, _, _, dx_prev = carry
-            return (it < n_it) & ((dx_prev >= tol) | (it < min_it))
+            it, _, _, dx_prev, thresh = carry
+            return (it < n_it) & ((dx_prev >= thresh) | (it < min_it))
 
         def w_body(carry):
-            it, (X, _, _, _, U2_warm), diags, _ = carry
+            it, (X, _, _, _, U2_warm), diags, _, _ = carry
             X_new, w6, keep, corr, U2, d = _iteration(
                 model, scan2, X, it + it_offset, cfg, axis_name, corr_mask,
                 U2_warm, packed
             )
             diags = diags.at[it].set(_diag_pack(d))
             return (
-                it + 1, (X_new, w6, keep, corr, U2), diags, d.dx_norm
+                it + 1, (X_new, w6, keep, corr, U2), diags, d.dx_norm,
+                _exit_thresh(w6, U2, keep),
             )
 
-        carry0 = (jnp.int32(1), init, diag_buf, diag0.dx_norm)
-        it_end, (X, w6, keep, corr, _U2), diags, _ = jax.lax.while_loop(
+        carry0 = (
+            jnp.int32(1), init, diag_buf, diag0.dx_norm,
+            _exit_thresh(w0, U2_0, keep0),
+        )
+        it_end, (X, w6, keep, corr, _U2), diags, _, _ = jax.lax.while_loop(
             w_cond, w_body, carry0
         )
         fill = jnp.minimum(jnp.arange(n_it), it_end - 1)
