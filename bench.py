@@ -103,6 +103,7 @@ def _drive_frames():
 
 
 def main() -> None:
+    t_main0 = time.perf_counter()
     import jax
     import jax.numpy as jnp
 
@@ -279,6 +280,53 @@ def main() -> None:
 
     reg_ms = _slope_ms(make_reg, (c1, c2, x0), np.asarray)
 
+    # --- DNN-filtered odometry step (in-loop reference semantics,
+    # ICET_spherical.py:288-390 — the production dnn_filter=True cost).
+    # Guarded: the DNN chain's compiles are the longest in this file, and a
+    # failure or deadline overrun here must not cost the driver the four
+    # metrics already measured above — emit dnn_frame_ms: null instead.
+    dnn_ms = None
+    try:
+        if time.perf_counter() - t_main0 < 0.6 * WORKER_TIMEOUT_S:
+            from icet_tpu.filters import (
+                model_voxel_samples,
+                odometry_step_dnn_jit,
+                pretrained_dnn,
+            )
+
+            dnn_cfg = cfg.replace(dnn_filter=True)
+            net, params = pretrained_dnn(dnn_cfg)
+            params = jax.device_put(params)
+
+            def make_dnn(chain):
+                @jax.jit
+                def g(frames, x):
+                    model0 = prepare_reference(frames[0], dnn_cfg)
+                    samples0 = model_voxel_samples(
+                        model0, frames[0], dnn_cfg
+                    )
+                    ks = (jnp.arange(chain) + 1) % nf
+
+                    def body(carry, k):
+                        model, prev_scan, samples, xc = carry
+                        scan = frames[k]
+                        res, nm, ns = odometry_step_dnn_jit(
+                            model, prev_scan, samples, scan, xc, dnn_cfg,
+                            net, params,
+                        )
+                        return (nm, scan, ns, res.X), None
+
+                    (_, _, _, xf), _ = jax.lax.scan(
+                        body, (model0, frames[0], samples0, x), ks
+                    )
+                    return xf
+
+                return g
+
+            dnn_ms = _slope_ms(make_dnn, (drive, x0), np.asarray)
+    except Exception as e:  # pragma: no cover - defensive
+        print(f"dnn bench failed: {e}", file=sys.stderr)
+
     out = {
         "metric": "odometry_frame_ms",
         "value": round(seq_ms, 4),
@@ -291,6 +339,7 @@ def main() -> None:
         "worst_case_frame_ms": round(alt_ms, 4),
         "keyframe_frame_ms": round(kf_ms, 4),
         "register_only_fixed7_ms": round(reg_ms, 4),
+        "dnn_frame_ms": None if dnn_ms is None else round(dnn_ms, 4),
     }
     print(json.dumps(out))
 

@@ -23,6 +23,12 @@ def main() -> int:
     ap.add_argument("--chain", type=int, default=20)
     ap.add_argument("--odometry", action="store_true",
                     help="trace the fused register+prepare odometry step")
+    ap.add_argument("--headline", action="store_true",
+                    help="trace bench.py's exact headline program: the "
+                         "fused odometry step over the city drive with the "
+                         "production early exit (tol 1e-4 + 1-sigma "
+                         "statistical) — the while-loop path, NOT the "
+                         "fixed-runlen scan path the default traces")
     ap.add_argument("--top", type=int, default=45)
     ap.add_argument("--logdir", default="/tmp/icet_trace_r2")
     args = ap.parse_args()
@@ -45,7 +51,31 @@ def main() -> int:
     cfg = ICETConfig(n_iters=7)
     chain = args.chain
 
-    if args.odometry:
+    if args.headline:
+        from bench import _drive_frames
+        from icet_tpu.solver import odometry_step_jit
+
+        hcfg = ICETConfig(
+            n_iters=7, convergence_tol=1e-4, convergence_stat_scale=1.0
+        )
+        drive = jax.device_put(_drive_frames())
+        nf = drive.shape[0]
+
+        @jax.jit
+        def g(frames, _s2, x):
+            model0 = prepare_reference(frames[0], hcfg)
+            ks = (jnp.arange(chain) + 1) % nf
+
+            def body(carry, k):
+                model, xc = carry
+                res, nm = odometry_step_jit(model, frames[k], xc, hcfg)
+                return (nm, res.X), None
+
+            (_, xf), _ = jax.lax.scan(body, (model0, x), ks)
+            return xf
+
+        c1 = drive  # reuse the arg plumbing below
+    elif args.odometry:
         @jax.jit
         def g(s1, s2, x):
             model0 = prepare_reference(s1, cfg)
