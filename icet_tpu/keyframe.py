@@ -148,14 +148,29 @@ def _blockmap_insert(
     (the block-local frame).  Overflow past the block capacity is dropped
     (out-of-bounds scatter rows), mirroring the fixed-capacity semantics of
     the reference ring at block granularity.
+
+    The downsample is STRATIFIED with per-stratum jitter (sample k of K
+    comes from scan rows [kN/K, (k+1)N/K)) rather than the reference's
+    uniform shuffle (simpleMapMaker.cpp:150-160): on a 65k scan the
+    shuffle's full argsort costs ~0.26 ms/frame on the v5e — a third of
+    the whole keyframe step — while the stratified draw is O(K).  On
+    beam-major scans strata stripe across beams, so spatial coverage is
+    at least as uniform; range-gated rows are write-masked (the map gets
+    marginally fewer than K points on frames with dropouts instead of
+    back-filling with extra valid rows).
     """
     B, P = bm.valid.shape
+    n = scan.shape[0]
+    K = bm_cfg.points_per_scan
     local = transform_points(scan, X_rel)
 
     r2 = jnp.sum(scan * scan, axis=-1)
     ok = r2 > (min_range * min_range)
-    order = jnp.argsort(jax.random.uniform(key, (scan.shape[0],)) + (~ok) * 2.0)
-    take = order[: bm_cfg.points_per_scan]
+    u = jax.random.uniform(key, (K,))
+    take = jnp.floor(
+        (jnp.arange(K, dtype=jnp.float32) + u) * (n / K)
+    ).astype(jnp.int32)
+    take = jnp.minimum(take, n - 1)
     new_pts = local[take]
     new_ok = ok[take]
 

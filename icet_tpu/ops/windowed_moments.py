@@ -174,7 +174,20 @@ def windowed_moment_sums(
     theta_cols: int = 48,
     slot: int = 16,
 ) -> tuple[jax.Array, jax.Array]:
-    """Returns ((V+1, 16) anchored moment sums, overflow count)."""
+    """Returns ((V+1, 16) anchored moment sums, overflow count).
+
+    ``overflow`` is the count of valid points outside their block's window
+    that the sums do NOT include — when nonzero the caller must top the
+    sums up with :func:`windowed_spill_sums` (exact, cheap, bounded
+    capacity) or fall back to an order-independent full pass.
+
+    This function is deliberately branch-free: it sits in the GN
+    while-loop body, where an extra XLA conditional costs a scheduling
+    sync (~0.7 ms/frame measured on the v5e early-exit odometry headline)
+    even when the branch never executes.  The caller owns the single
+    overflow conditional (solver._fused_sums nests spill/fallback inside
+    its dirty branch, so overflow-free frames pay exactly one predicate).
+    """
     assert theta_cols % slot == 0
     n = pts.shape[0]
     n_theta, n_phi = cfg.n_theta, cfg.n_phi
@@ -236,10 +249,100 @@ def windowed_moment_sums(
          jnp.zeros((1, 10), jnp.float32)],
         axis=0,
     )
+
     sums = jnp.concatenate(
         [sums10, jnp.zeros((v1, _N_FEATURES - 10), jnp.float32)], axis=-1
     )
     return sums, overflow
+
+
+def windowed_spill_sums(
+    pts: jax.Array,
+    X: jax.Array,
+    bounds: jax.Array,
+    anchors: jax.Array,
+    cfg: ICETConfig,
+    block: int = 256,
+    phi_rows: int = 2,
+    theta_cols: int = 48,
+    slot: int = 16,
+    spill_capacity: int = 8192,
+) -> jax.Array:
+    """Exact (V+1, 16) moment contributions of the points
+    :func:`windowed_moment_sums` (same arguments) left out of its windows
+    — ``windowed + spill == segsum truth`` whenever the overflow count is
+    within ``spill_capacity`` (beyond it the result silently misses the
+    excess points: gate on the overflow count, see solver._fused_sums).
+
+    This is the keyframe-odometry regime's hot fix: at 2-4 m keyframe
+    baselines, parallax pushes 0.7-4.3k of 65k points out of the 2x48
+    window (measured on the bench city drive), and without it EVERY
+    iteration of 3 of 4 frames silently paid the 2x full-segsum fallback
+    (~0.5 ms per iteration in the trace, the dominant term of
+    keyframe_frame_ms).  Meant to run inside an overflow-gated lax.cond
+    branch, so it recomputes the cheap elementwise prepass (transform +
+    bins + window layout, ~tens of us) instead of forcing the caller to
+    keep those intermediates live across the conditional.
+    """
+    n = pts.shape[0]
+    v1 = cfg.n_voxels + 1
+    cap = spill_capacity
+    pad_n = (-n) % block
+    if pad_n:
+        pts = jnp.concatenate([pts, jnp.zeros((pad_n, 3), pts.dtype)])
+
+    raw_ok = jnp.linalg.norm(pts, axis=-1) >= cfg.min_range
+    p2 = transform_points(pts, X)
+    rtp = cart_to_spherical(p2)
+    r = rtp[..., 0]
+    vid = voxel_ids(rtp, cfg)
+    ok = raw_ok & (vid < cfg.n_voxels)
+    lay = _WindowLayout(ok, vid, cfg, block, phi_rows, theta_cols, slot)
+    table = jnp.concatenate([bounds, anchors], axis=-1)  # (V+1, 5)
+    extra10 = _spill_moment_sums(
+        p2, r, vid, lay.okb & ~lay.in_win, lay.overflow, table, v1, cap
+    )
+    return jnp.concatenate(
+        [extra10, jnp.zeros((v1, _N_FEATURES - 10), jnp.float32)], axis=-1
+    )
+
+
+def _spill_moment_sums(p2, r, vid, spill_mask, overflow, table, v1, cap):
+    """Exact (v1, 10) moment contributions of out-of-window points.
+
+    Compact rank of each spilled point; everything else targets row
+    ``cap`` == out of bounds == dropped.  Ranks are distinct and < cap
+    when ``overflow <= cap`` (the caller's cond predicate), so the
+    scatter is unique-index and accumulation-free.
+    """
+    spill = spill_mask.reshape(-1)
+    pos = jnp.cumsum(spill.astype(jnp.int32)) - 1
+    tgt = jnp.where(spill, pos, cap)
+    packed = jnp.concatenate(
+        [p2.reshape(-1, 3), r.reshape(-1, 1),
+         vid.reshape(-1, 1).astype(jnp.float32)],  # vid < 2^24: exact
+        axis=-1,
+    )
+    buf = (
+        jnp.zeros((cap, 5), jnp.float32)
+        .at[tgt]
+        .set(packed, mode="drop", unique_indices=True)
+    )
+    bvid = jnp.clip(buf[:, 4].astype(jnp.int32), 0, v1 - 1)
+    tb = table[bvid]  # (cap, 5) bounds + anchor gather
+    bok = jnp.arange(cap, dtype=jnp.int32) < overflow
+    mem = bok & (buf[:, 3] >= tb[:, 0]) & (buf[:, 3] <= tb[:, 1])
+    # where(), not multiply: NaN coordinates give False comparisons
+    # (mem False) and must not poison the sums (same guard as the
+    # windowed member).
+    gs = jnp.where(mem[:, None], buf[:, :3] - tb[:, 2:5], 0.0)
+    fx, fy, fz = gs[..., 0], gs[..., 1], gs[..., 2]
+    fs = jnp.stack(
+        [mem.astype(jnp.float32), fx, fy, fz, fx * fx, fy * fy,
+         fz * fz, fx * fy, fx * fz, fy * fz],
+        axis=-1,
+    )  # (cap, 10); all-zero rows for non-members
+    return jax.ops.segment_sum(fs, bvid, num_segments=v1)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))

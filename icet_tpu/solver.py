@@ -51,6 +51,11 @@ from icet_tpu.ops.moments import voxel_moments
 
 _HI = jax.lax.Precision.HIGHEST
 
+#: Max out-of-window points the windowed-moments spill path absorbs before
+#: an iteration falls back to the full segsum pass (see _fused_sums; the
+#: bench keyframe regime's worst frame spills ~4.3k of 65k points).
+_SPILL_CAPACITY = 8192
+
 
 def _mm(a, b):
     """f32-precision matmul (TPU defaults to bf16 MXU passes otherwise)."""
@@ -78,10 +83,13 @@ class IterationDiag(NamedTuple):
     dx_norm: jax.Array
     n_dropped_axes: jax.Array
     n_rejected_moving: jax.Array
-    #: windowed-moments overflow count (0 on non-fused paths).  Nonzero
-    #: means this iteration silently fell back to the ~2x-cost segsum path
-    #: (unordered/azimuth-major input, or a keyframe-scale transform) —
-    #: the production observability hook for that slowdown.
+    #: windowed-moments off-window point count (0 on non-fused paths).
+    #: A small nonzero count (<= the kernel's spill capacity, 8192) means
+    #: those points were absorbed exactly by the cheap spill path
+    #: (keyframe-baseline parallax lives here); a count ABOVE the capacity
+    #: means the iteration fell back to the ~2x-cost full segsum pass
+    #: (unordered/azimuth-major input) — the production observability
+    #: hook for that slowdown.
     windowed_overflow: jax.Array
 
 
@@ -316,10 +324,16 @@ def _fused_sums(pts, X, bounds, anchors, cfg: ICETConfig):
     block's points overflow the window (shuffled/azimuth-major inputs stay
     correct, just slower — see datasets.loaders.to_beam_major).
 
-    Returns ``(sums, overflow_count)`` — the count surfaces in
-    IterationDiag.windowed_overflow so the silent 2x fallback is
-    observable in production metrics."""
-    from icet_tpu.ops.windowed_moments import windowed_moment_sums
+    Returns ``(sums, off_window_count)`` — the count surfaces in
+    IterationDiag.windowed_overflow so work outside the windowed fast
+    path is observable in production metrics.  Points that miss the
+    window are first absorbed exactly by the kernel's bounded spill path
+    (cheap; keyframe-baseline parallax lives here); only a spill-capacity
+    overrun triggers the full 2x segsum fallback."""
+    from icet_tpu.ops.windowed_moments import (
+        windowed_moment_sums,
+        windowed_spill_sums,
+    )
 
     if cfg.radial_mode == "fixed":
         # Radial shells scatter a block's ids across the whole table; the
@@ -327,11 +341,24 @@ def _fused_sums(pts, X, bounds, anchors, cfg: ICETConfig):
         return _jnp_sums(pts, X, bounds, anchors, cfg), jnp.int32(0)
 
     sums_w, ovf = windowed_moment_sums(pts, X, bounds, anchors, cfg)
-    sums = jax.lax.cond(
-        ovf == 0,
-        lambda: sums_w,
-        lambda: _jnp_sums(pts, X, bounds, anchors, cfg),
-    )
+
+    # NESTED conditional, deliberately: this sits in the GN while-loop
+    # body, where each XLA conditional costs a scheduling sync (~0.7 ms/
+    # frame on the early-exit headline) even when its branch never runs.
+    # Overflow-free frames therefore evaluate exactly ONE predicate; only
+    # dirty frames (keyframe-baseline parallax, unordered clouds) descend
+    # into the inner spill-vs-fallback choice.
+    def _dirty():
+        return jax.lax.cond(
+            ovf <= _SPILL_CAPACITY,
+            lambda: sums_w + windowed_spill_sums(
+                pts, X, bounds, anchors, cfg,
+                spill_capacity=_SPILL_CAPACITY,
+            ),
+            lambda: _jnp_sums(pts, X, bounds, anchors, cfg),
+        )
+
+    sums = jax.lax.cond(ovf == 0, lambda: sums_w, _dirty)
     return sums, ovf
 
 

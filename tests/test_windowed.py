@@ -11,7 +11,10 @@ from icet_tpu.ops.clustering import membership
 from icet_tpu.ops.geometry import cart_to_spherical
 from icet_tpu.ops.grid import voxel_ids
 from icet_tpu.ops.moments import voxel_moment_sums
-from icet_tpu.ops.windowed_moments import windowed_moment_sums
+from icet_tpu.ops.windowed_moments import (
+    windowed_moment_sums,
+    windowed_spill_sums,
+)
 from icet_tpu.solver import prepare_reference_jit, register_pair
 
 CFG = ICETConfig(
@@ -59,6 +62,53 @@ def test_windowed_detects_shuffled(scene, rng):
         jnp.asarray(shuffled), jnp.zeros(6), model.bounds, model.anchors, CFG
     )
     assert int(ovf) > 0  # must flag, so the solver falls back
+
+
+def test_windowed_spill_path_exact(scene, rng):
+    """A bounded number of out-of-window points (the keyframe-baseline
+    parallax case) must be absorbed EXACTLY by the spill top-up:
+    windowed + spill == segsum truth."""
+    scan, model = scene
+    corrupted = np.array(scan, np.float32)
+    # Teleport a sprinkling of points to random other scan positions:
+    # same point set, but some rows sit far outside their block's window
+    # (out-of-order), exactly like parallax-displaced rows.
+    idx = np.arange(0, len(scan), 97)
+    corrupted[idx] = scan[rng.permutation(len(scan))[: len(idx)]]
+    sums, ovf = windowed_moment_sums(
+        jnp.asarray(corrupted), jnp.zeros(6), model.bounds, model.anchors,
+        CFG,
+    )
+    # A stray low-phi point can drag its whole block's phi-anchor election
+    # off the bulk, so overflow counts whole blocks, not just the
+    # teleported rows — all that matters: nonzero, bounded, exactly
+    # absorbed by the spill pass.
+    assert 0 < int(ovf) <= 8192
+    extra = windowed_spill_sums(
+        jnp.asarray(corrupted), jnp.zeros(6), model.bounds, model.anchors,
+        CFG,
+    )
+    truth = _segsum_truth(jnp.asarray(corrupted), model, CFG)
+    np.testing.assert_allclose(
+        np.asarray(sums + extra)[:, :10], np.asarray(truth)[:, :10],
+        atol=2e-3,
+    )
+
+    # End to end: the solver's fused path must absorb the spill without
+    # falling back — register on the corrupted cloud stays equal to the
+    # segsum solve (the nested-cond routing in solver._fused_sums).
+    res_f = register_pair(
+        jnp.asarray(scan), jnp.asarray(corrupted), jnp.zeros(6),
+        CFG.replace(moment_method="fused", n_iters=2),
+    )
+    res_s = register_pair(
+        jnp.asarray(scan), jnp.asarray(corrupted), jnp.zeros(6),
+        CFG.replace(moment_method="segsum", n_iters=2),
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_f.X), np.asarray(res_s.X), atol=1e-4
+    )
+    assert int(np.asarray(res_f.diagnostics.windowed_overflow).max()) > 0
 
 
 @pytest.mark.slow

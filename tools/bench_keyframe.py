@@ -133,7 +133,7 @@ def main():
 
             (xf, bm, _), _ = jax.lax.scan(
                 body, (xk, bm0, jax.random.PRNGKey(0)), None, length=chain)
-            return xf + bm.points[0, 0] * 1e-9
+            return xf + bm.points[0, 0, 0] * 1e-9
 
         return g
 
@@ -172,7 +172,7 @@ def main():
             )
             (model, bm, x2, d2, _, _), _ = jax.lax.scan(
                 body, carry0, None, length=chain)
-            return x2 + d2 + bm.points[0, 0] * 1e-9
+            return x2 + d2 + bm.points[0, 0, 0] * 1e-9
 
         return g
 
@@ -227,8 +227,8 @@ def main():
             (model, bm, x_rel, d2, world, _, _), _ = jax.lax.scan(
                 body, carry0, ks)
             return (world + x_rel + d2
-                    + bm.points[0, 0] * 1e-9
-                    + model.mean[0] * 1e-9)
+                    + bm.points[0, 0, 0] * 1e-9
+                    + model.mean[0, 0] * 1e-9)
 
         return g
 

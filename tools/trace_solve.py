@@ -29,6 +29,10 @@ def main() -> int:
                          "production early exit (tol 1e-4 + 1-sigma "
                          "statistical) — the while-loop path, NOT the "
                          "fixed-runlen scan path the default traces")
+    ap.add_argument("--keyframe", action="store_true",
+                    help="trace bench.py's keyframe regime: keyframe_step "
+                         "+ block-map insert + spawn every ~3rd frame on "
+                         "the city drive")
     ap.add_argument("--top", type=int, default=45)
     ap.add_argument("--logdir", default="/tmp/icet_trace_r2")
     args = ap.parse_args()
@@ -75,6 +79,72 @@ def main() -> int:
             return xf
 
         c1 = drive  # reuse the arg plumbing below
+    elif args.keyframe:
+        from bench import _drive_frames
+        from icet_tpu.config import BlockMapConfig, KeyframeConfig
+        from icet_tpu.keyframe import (
+            blockmap_init,
+            keyframe_spawn_jit,
+            keyframe_step_jit,
+        )
+        from icet_tpu.ops.geometry import compose_states
+
+        hcfg = ICETConfig(
+            n_iters=7, convergence_tol=1e-4, convergence_stat_scale=1.0
+        )
+        kf_cfg = KeyframeConfig(
+            spawn_distance=3.0, spawn_angle=0.3, delta_clamp=2.5
+        )
+        bm_cfg = BlockMapConfig()
+        drive = jax.device_put(_drive_frames())
+        nf = drive.shape[0]
+
+        @jax.jit
+        def g(frames, _s2, x):
+            bm0 = blockmap_init(bm_cfg)
+            model0, bm0 = keyframe_spawn_jit(
+                bm0, frames[0], jnp.zeros(6, jnp.float32),
+                jax.random.PRNGKey(1), jnp.asarray(True), hcfg, bm_cfg,
+            )
+            ks = (jnp.arange(chain) + 1) % nf
+
+            def body(carry, k):
+                model, bm, x_rel, delta, world, key, n0 = carry
+                scan = frames[k]
+                key, sub, sub2 = jax.random.split(key, 3)
+                res, x2, d2, _div, spawn, n_corr, bm2 = keyframe_step_jit(
+                    model, bm, scan, x_rel, delta, sub, n0,
+                    hcfg, kf_cfg, bm_cfg,
+                )
+                n0 = jnp.where(n0 == 0, n_corr, n0)
+                world2 = compose_states(world, x2)
+
+                def do_spawn(_):
+                    m2, bm3 = keyframe_spawn_jit(
+                        bm2, scan, world2, sub2, jnp.asarray(True),
+                        hcfg, bm_cfg)
+                    return (m2, bm3, jnp.zeros(6, jnp.float32),
+                            jnp.zeros((), jnp.int32), world2)
+
+                def keep(_):
+                    return model, bm2, x2, n0, world
+
+                model, bm, x_rel, n0, world = jax.lax.cond(
+                    spawn, do_spawn, keep, None)
+                return (model, bm, x_rel, d2, world, key, n0), None
+
+            carry0 = (
+                model0, bm0, jnp.zeros(6, jnp.float32),
+                jnp.zeros(6, jnp.float32), jnp.zeros(6, jnp.float32),
+                jax.random.PRNGKey(0), jnp.zeros((), jnp.int32),
+            )
+            (model, bm, x_rel, d2, world, _, _), _ = jax.lax.scan(
+                body, carry0, ks)
+            return (world + x_rel + d2
+                    + bm.points[0, 0, 0] * 1e-9
+                    + model.mean[0, 0] * 1e-9)
+
+        c1 = drive
     elif args.odometry:
         @jax.jit
         def g(s1, s2, x):
