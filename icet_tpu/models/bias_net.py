@@ -82,6 +82,116 @@ def pack_voxel_samples(sample1: jax.Array, sample2: jax.Array) -> jax.Array:
     return jnp.concatenate([both, tag], axis=-1)
 
 
+# ---------------------------------------------------------------------------
+# Fused Pallas encoder (inference fast path)
+# ---------------------------------------------------------------------------
+#
+# The flax encoder materialises every (V, 2S, 64/128/256) activation in HBM
+# (plus LayerNorm re-reads) — ~1.3 GB of traffic per forward at the
+# canonical V=1801, S=100, measured as the bulk of the DNN filter's
+# per-frame cost on the v5e.  The fused kernel keeps one voxel tile's
+# activations in VMEM through all three Dense+LayerNorm+ReLU stages and the
+# max-pool; HBM traffic drops to the (V, 2S, 4) input + (V, 256) pooled
+# output.  Static shapes, no dynamic offsets (the Mosaic bugs documented in
+# ops/pallas_fused.py are all dynamic-offset cases).
+
+_TILE_V = 16
+
+
+def _encoder_kernel(x_ref, *refs):
+    """One voxel tile through the bf16 encoder: (TB, P, C) -> (TB, F)."""
+    out_ref = refs[-1]
+    wrefs = refs[:-1]
+    tb, p, c = x_ref.shape
+    h = x_ref[:].reshape(tb * p, c).astype(jnp.bfloat16)
+    for i in range(0, len(wrefs), 4):
+        w, b, g, be = (r[:] for r in wrefs[i : i + 4])
+        # Match flax Dense(dtype=bf16): f32 MXU accumulation cast to bf16,
+        # bias added in bf16; LayerNorm statistics in f32 (flax
+        # _compute_stats promotes), fast-variance form, eps 1e-6.
+        a = jnp.dot(
+            h, w.astype(jnp.bfloat16), preferred_element_type=jnp.float32
+        )
+        a = (a.astype(jnp.bfloat16) + b.astype(jnp.bfloat16)).astype(
+            jnp.float32
+        )
+        mu = jnp.mean(a, axis=-1, keepdims=True)
+        var = jnp.maximum(
+            jnp.mean(a * a, axis=-1, keepdims=True) - mu * mu, 0.0
+        )
+        y = (a - mu) * jax.lax.rsqrt(var + 1e-6)
+        y = y * g.astype(jnp.float32) + be.astype(jnp.float32)
+        h = jnp.maximum(y, 0.0).astype(jnp.bfloat16)
+    f = h.shape[-1]
+    out_ref[:] = jnp.max(
+        h.reshape(tb, p, f).astype(jnp.float32), axis=1
+    )
+
+
+def _split_params(params):
+    p = params["params"]
+    enc, i = [], 0
+    while f"LayerNorm_{i}" in p:
+        enc += [
+            p[f"Dense_{i}"]["kernel"], p[f"Dense_{i}"]["bias"],
+            p[f"LayerNorm_{i}"]["scale"], p[f"LayerNorm_{i}"]["bias"],
+        ]
+        i += 1
+    head = []
+    while f"Dense_{i}" in p:
+        head.append((p[f"Dense_{i}"]["kernel"], p[f"Dense_{i}"]["bias"]))
+        i += 1
+    return enc, head
+
+
+def apply_bias_net(net: "BiasNet", params, x: jax.Array, *,
+                   fused: bool | None = None,
+                   interpret: bool = False) -> jax.Array:
+    """BiasNet forward with the fused Pallas encoder on TPU.
+
+    Numerically equivalent to ``net.apply(params, x)`` to bf16 rounding
+    (pinned by tests/test_models.py); elsewhere (CPU CI) falls back to the
+    flax apply unless ``fused`` forces the kernel (interpret mode tests).
+    """
+    if fused is None:
+        fused = jax.default_backend() == "tpu"
+    if not fused:
+        return net.apply(params, x)
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    enc, head = _split_params(params)
+    b, p_pts, c = x.shape
+    feat = enc[-1].shape[0]  # final LayerNorm width == pooled width
+    pad = (-b) % _TILE_V
+    xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0))) if pad else x
+    grid = (xp.shape[0] // _TILE_V,)
+    pooled = pl.pallas_call(
+        _encoder_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (_TILE_V, p_pts, c),
+                lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(enc),
+        out_specs=pl.BlockSpec(
+            (_TILE_V, feat), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((xp.shape[0], feat), jnp.float32),
+        interpret=interpret,
+    )(xp.astype(jnp.float32), *enc)
+    g = pooled[:b]
+    # f32 head on the pooled codes (negligible traffic), as in BiasNet.
+    for w, bias in head[:-1]:
+        g = jnp.maximum(jnp.dot(g, w) + bias, 0.0)
+    w, bias = head[-1]
+    return jnp.dot(g, w) + bias
+
+
 class TrainState(NamedTuple):
     params: dict
     opt_state: optax.OptState

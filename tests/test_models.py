@@ -40,6 +40,40 @@ def test_bias_net_shapes():
     assert out.shape == (4, 3)
 
 
+def test_fused_encoder_matches_flax():
+    """The Pallas fused encoder (interpret mode on CPU) must reproduce the
+    flax apply to bf16 rounding — on the BUNDLED weights and realistic
+    input scales, including a non-multiple-of-tile batch."""
+    from icet_tpu.models.bias_net import apply_bias_net, load_pretrained
+
+    net, params = load_pretrained()
+    rng = np.random.default_rng(5)
+    # Voxel-centred offsets (metre scale) + scan-id channel, like
+    # pack_voxel_samples output; 37 voxels exercises the tile padding.
+    x = np.concatenate(
+        [
+            rng.normal(size=(37, 200, 3)).astype(np.float32) * 0.5,
+            np.tile(
+                np.r_[-np.ones(100), np.ones(100)].astype(np.float32),
+                (37, 1),
+            )[..., None],
+        ],
+        axis=-1,
+    )
+    ref = np.asarray(net.apply(params, jnp.asarray(x)))
+    got = np.asarray(
+        apply_bias_net(net, params, jnp.asarray(x), fused=True,
+                       interpret=True)
+    )
+    assert got.shape == ref.shape == (37, 3)
+    # bf16 rounding flips max-pool winners between the two orderings, so
+    # the gap is discrete but small (measured max 0.008 m on decimetre-
+    # scale predictions) — well under the 5 cm dnn_thresh the output
+    # feeds, where it can only flip voxels already sitting on the
+    # rejection boundary.
+    np.testing.assert_allclose(got, ref, atol=2e-2)
+
+
 def test_pack_voxel_samples_invariance():
     rng = np.random.default_rng(0)
     s1 = jnp.asarray(rng.normal(size=(5, 16, 3)).astype(np.float32))

@@ -93,20 +93,30 @@ def main():
         jax.jit(lambda s: model_voxel_samples(model, s, cfg))(scan2)
     )
 
-    def make_forward(chain):
-        @jax.jit
-        def g(a, b):
-            def body(shift, _):
-                inputs = pack_voxel_samples(a + shift[:, None, :], b)
-                return shift + net.apply(params, inputs), None
+    def make_forward(apply_fn):
+        def make(chain):
+            @jax.jit
+            def g(a, b):
+                def body(shift, _):
+                    inputs = pack_voxel_samples(a + shift[:, None, :], b)
+                    return shift + apply_fn(inputs), None
 
-            shift0 = jnp.zeros((a.shape[0], 3), a.dtype)
-            out, _ = jax.lax.scan(body, shift0, None, length=chain)
-            return out
+                shift0 = jnp.zeros((a.shape[0], 3), a.dtype)
+                out, _ = jax.lax.scan(body, shift0, None, length=chain)
+                return out
 
-        return g
+            return g
 
-    print(f"B pack + net forward         {slope_ms(make_forward, (s1, s2)):8.3f} ms")
+        return make
+
+    from icet_tpu.models.bias_net import apply_bias_net
+
+    flax_fwd = make_forward(lambda x: net.apply(params, x))
+    fused_fwd = make_forward(
+        lambda x: apply_bias_net(net, params, x, fused=True)
+    )
+    print(f"B pack + net forward (flax)  {slope_ms(flax_fwd, (s1, s2)):8.3f} ms")
+    print(f"B'pack + net forward (fused) {slope_ms(fused_fwd, (s1, s2)):8.3f} ms")
 
     # --- C: full reject mask (sampling of scan2 + 2 forwards + proj) ----
     def make_mask(chain):
