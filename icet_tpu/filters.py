@@ -55,21 +55,30 @@ def sample_voxel_points(
     Sorts point indices by voxel id and slices S per voxel, replacing the
     reference's per-voxel host-side shuffles (ICET_spherical.py:303-312).
 
-    ``mode="head"`` (default) takes the first S of each voxel's run
-    (cycling when shorter).  Stable sort keeps scan order, so on
-    beam-major scans this is the voxel's lowest beam rows — a spatially
-    biased subset in theory, but the MEASURED-better choice: on the fence
-    occlusion benchmark (tests/test_dnn_filter.py) head sampling cuts the
-    biased-axis error to 0.31/0.41/0.07 of plain across seeds, while
-    ``mode="strided"`` (S evenly-strided positions spanning the whole run
-    — the faithful analog of the reference's full-voxel shuffle) only
-    reaches 0.61/1.15/0.53.  Both estimates the filter compares (sampled
-    icet_shift AND the net's prediction) move together under the sampling
-    scheme, so representativeness does not automatically help.
+    ``mode="head"`` (default) takes the first S of each voxel's run (the
+    voxel's sample mean filling the tail when shorter).  Scan order is
+    preserved, so on beam-major scans this is the voxel's lowest beam
+    rows — a spatially biased subset in theory, but the MEASURED-better
+    choice: on the fence occlusion benchmark (tests/test_dnn_filter.py)
+    head sampling cuts the biased-axis error to 0.31/0.41/0.07 of plain
+    across seeds, while ``mode="strided"`` (S evenly-strided positions
+    spanning the whole run — the faithful analog of the reference's
+    full-voxel shuffle) only reaches 0.61/1.15/0.53.  Both estimates the
+    filter compares (sampled icet_shift AND the net's prediction) move
+    together under the sampling scheme, so representativeness does not
+    automatically help.
+
+    Construction is SCATTER-based for head mode: per-point within-voxel
+    ranks from one key/value sort + a segment-boundary cummax, then one
+    unique-index scatter into the dense (V+1, S, 3) buffer.  The obvious
+    gather formulation (``points[order[take]]``) costs 4.5 ms/call on the
+    v5e — TPU random-row gathers run ~17 ns/row, so (V+1)x100 sample rows
+    dominate the whole DNN filter — where the two 65k scatters are ~N
+    rows, not (V+1)*S.  Strided mode needs arbitrary per-voxel positions
+    (no rank test selects them), so it keeps the gather construction.
     """
     n = points.shape[0]
     vidm = jnp.where(member, vid, n_voxels).astype(jnp.int32)
-    order = jnp.argsort(vidm)
     if counts is None:
         # ``counts`` must equal the sort's segment sizes; pass the windowed
         # fast-path counts when the scan is beam-major (the 65k scatter-add
@@ -77,16 +86,52 @@ def sample_voxel_points(
         counts = jax.ops.segment_sum(
             jnp.ones_like(vidm, jnp.int32), vidm, num_segments=n_voxels + 1
         )
-    offsets = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
-    )
-    k = jnp.arange(n_samples, dtype=jnp.int32)[None, :]
+
     if mode == "strided":
+        order = jnp.argsort(vidm)
+        offsets = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             jnp.cumsum(counts)[:-1].astype(jnp.int32)]
+        )
+        k = jnp.arange(n_samples, dtype=jnp.int32)[None, :]
         within = (k * jnp.maximum(counts, 1)[:, None]) // n_samples
-    else:
-        within = k % jnp.maximum(counts, 1)[:, None]
-    take = jnp.clip(offsets[:, None] + within, 0, n - 1)
-    samples = points[order[take]]
+        take = jnp.clip(offsets[:, None] + within, 0, n - 1)
+        return points[order[take]], counts
+
+    S = n_samples
+    v1 = n_voxels + 1
+    idx = jnp.arange(n, dtype=jnp.int32)
+    # One sort gives both the sorted keys and the permutation; the stable
+    # ordering keeps scan order within each voxel (head semantics).
+    vs, order = jax.lax.sort_key_val(vidm, idx, is_stable=True)
+    # Within-voxel rank in sorted space: position minus the running
+    # maximum of segment-start positions (no gather).
+    seg_start = jnp.where(
+        jnp.concatenate([jnp.ones((1,), bool), vs[1:] != vs[:-1]]), idx, 0
+    )
+    start = jax.lax.associative_scan(jnp.maximum, seg_start)
+    rank_sorted = idx - start
+    # Rank back at original positions: a permutation scatter.
+    rank = (
+        jnp.zeros(n, jnp.int32).at[order].set(rank_sorted, unique_indices=True)
+    )
+    write = member & (rank < S)
+    tgt = jnp.where(write, vidm * S + rank, v1 * S)  # OOB row -> dropped
+    buf = (
+        jnp.zeros((v1 * S, 3), points.dtype)
+        .at[tgt]
+        .set(points, mode="drop", unique_indices=True)
+    )
+    samples = buf.reshape(v1, S, 3)
+    # Tail rows (count < S) repeat the voxel's FIRST point: a real point,
+    # so the bias net's max-pool sees exactly the same feature set as the
+    # old cyclic padding (duplicates are max-neutral), with no
+    # (V+1, S)-row gather.  (Mean-padding was tried instead and WEAKENED
+    # the filter on the fence-occlusion efficacy benchmark — the net never
+    # saw synthetic centroid points in training.)
+    cl = jnp.clip(counts, 1, S)
+    row_ok = jnp.arange(S, dtype=jnp.int32)[None, :] < cl[:, None]
+    samples = jnp.where(row_ok[..., None], samples, samples[:, :1, :])
     return samples, counts
 
 
@@ -152,8 +197,19 @@ def dnn_reject_mask(
     )
     s2, n2 = model_voxel_samples(model, scan2_aligned, cfg)
 
-    mu1 = jnp.mean(s1, axis=-2)
-    mu2 = jnp.mean(s2, axis=-2)
+    def _real_mean(s, n):
+        # Mean over the REAL sampled rows only (tail rows repeat the first
+        # point when the voxel has fewer than S members — see
+        # sample_voxel_points — and would bias the shift estimate).
+        c = jnp.clip(n, 1, s.shape[-2])
+        ok = jnp.arange(s.shape[-2], dtype=jnp.int32)[None, :] < c[:, None]
+        return (
+            jnp.sum(jnp.where(ok[..., None], s, 0.0), axis=-2)
+            / c[:, None].astype(s.dtype)
+        )
+
+    mu1 = _real_mean(s1, n1)
+    mu2 = _real_mean(s2, n2)
     icet_shift = mu2 - mu1
 
     # Iterative refinement: shift sample 1 by the running estimate and

@@ -15,7 +15,10 @@ i=0
 while [ $i -lt 60 ]; do
     i=$((i + 1))
     echo "=== invocation $i $(date -u +%H:%M:%S) ===" >> "$LOG"
-    timeout 1500 python examples/eval_citydrive.py \
+    # 40 frames normally finish in ~3-4 min incl. compile; a tunnel-hung
+    # invocation (observed: first device sync never returns, 1.4% CPU)
+    # must recycle fast — the checkpoint makes the kill lossless.
+    timeout 450 python examples/eval_citydrive.py \
         --frames 399 --dynamic --chunk 40 \
         --state "$OUT/dyn" --out "$OUT" "$@" >> "$LOG" 2>&1
     rc=$?
