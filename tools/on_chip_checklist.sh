@@ -6,14 +6,18 @@
 #
 #   sh tools/on_chip_checklist.sh [outdir]
 #
-# Items (CLAUDE.md perf backlog + VERDICT r2 #1/#2):
-#   1. 60s trivial-op probe (abort early if the tunnel is still dead)
-#   2. bench.py          — headline odometry_frame_ms + keyframe_frame_ms
-#                          (counts-hint + early-exit + round-3 eigh3 changes
-#                          all unmeasured on chip)
-#   3. bench_prepare.py  — prepare-stage slopes (eigh3 4-sweep effect)
-#   4. bench_odostep.py  — odometry-step stage slopes (the ~0.2 ms glue)
-#   5. trace_solve.py    — xplane trace for the glue breakdown
+# Items (CLAUDE.md perf backlog; refreshed for round 4):
+#   1. trivial-op probe x3 (abort early if the tunnel is still dead)
+#   2. bench.py            — headline + keyframe + dnn (the orchestrator
+#                            re-measures the headline in a 2nd process and
+#                            takes the min; whole-process tunnel modes)
+#   3. bench_prepare.py    — prepare-stage slopes
+#   4. bench_odostep.py    — odometry-step stage slopes
+#   5. trace_solve.py      — xplane trace (add --keyframe/--headline for
+#                            those regimes)
+#   6. bench_keyframe.py   — keyframe stage ladder (insert/glue/spawn)
+#   7. bench_dnn_stages.py — DNN filter ladder (sampling/forward/mask)
+#   8. bench_sampling.py   — per-voxel sampling ladder (gather/scatter)
 set -x
 OUT=${1:-/tmp/on_chip_$(date +%s)}
 mkdir -p "$OUT"
@@ -37,9 +41,12 @@ done
 # bench.py's own orchestrator worst case is 2 probes x 60s + 2 workers x
 # 2400s; the outer timeout must exceed that or it kills the retry mid-way
 # and bench.json loses its guaranteed one-line JSON.
-timeout 5100 python bench.py                > "$OUT/bench.json"        2> "$OUT/bench.err"
-timeout 1800 python tools/bench_prepare.py  > "$OUT/bench_prepare.log" 2>&1
-timeout 1800 python tools/bench_odostep.py  > "$OUT/bench_odostep.log" 2>&1
-timeout 1800 python tools/trace_solve.py    > "$OUT/trace_solve.log"   2>&1
+timeout 5100 python bench.py                  > "$OUT/bench.json"        2> "$OUT/bench.err"
+timeout 1800 python tools/bench_prepare.py    > "$OUT/bench_prepare.log" 2>&1
+timeout 1800 python tools/bench_odostep.py    > "$OUT/bench_odostep.log" 2>&1
+timeout 1800 python tools/trace_solve.py      > "$OUT/trace_solve.log"   2>&1
+timeout 1800 python tools/bench_keyframe.py   > "$OUT/bench_keyframe.log" 2>&1
+timeout 1800 python tools/bench_dnn_stages.py > "$OUT/bench_dnn_stages.log" 2>&1
+timeout 1800 python tools/bench_sampling.py   > "$OUT/bench_sampling.log" 2>&1
 
 echo "done; results in $OUT — update RESULTS.md/CLAUDE.md and commit"

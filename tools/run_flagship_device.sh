@@ -5,21 +5,26 @@
 # prints; each invocation resumes from the checkpoint.
 #
 # Usage: sh tools/run_flagship_device.sh [outdir] [extra args...]
-# e.g.:  sh tools/run_flagship_device.sh /tmp/flagship_r4 --keyframe
+# e.g.:  CHUNK=20 CHUNK_TIMEOUT=900 sh tools/run_flagship_device.sh \
+#            /tmp/flagship_r4_kf --keyframe
 set -u
 OUT=${1:-/tmp/flagship_r4}
 shift 2>/dev/null || true
+# Frame-to-frame mode: 40 frames finish in ~3-4 min incl. compile, and a
+# tunnel-hung invocation (observed: first device sync never returns, 1.4%
+# CPU) must recycle fast — the checkpoint makes the kill lossless.
+# Keyframe mode compiles longer and dispatches more per frame: use
+# CHUNK=20 CHUNK_TIMEOUT=900 (40-frame chunks never checkpointed in 450 s).
+CHUNK=${CHUNK:-40}
+CHUNK_TIMEOUT=${CHUNK_TIMEOUT:-450}
 mkdir -p "$OUT"
 LOG="$OUT/run.log"
 i=0
 while [ $i -lt 60 ]; do
     i=$((i + 1))
     echo "=== invocation $i $(date -u +%H:%M:%S) ===" >> "$LOG"
-    # 40 frames normally finish in ~3-4 min incl. compile; a tunnel-hung
-    # invocation (observed: first device sync never returns, 1.4% CPU)
-    # must recycle fast — the checkpoint makes the kill lossless.
-    timeout 450 python examples/eval_citydrive.py \
-        --frames 399 --dynamic --chunk 40 \
+    timeout "$CHUNK_TIMEOUT" python examples/eval_citydrive.py \
+        --frames 399 --dynamic --chunk "$CHUNK" \
         --state "$OUT/dyn" --out "$OUT" "$@" >> "$LOG" 2>&1
     rc=$?
     echo "rc=$rc" >> "$LOG"
