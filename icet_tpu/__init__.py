@@ -19,7 +19,11 @@ from icet_tpu.config import (
 from icet_tpu.filters import register_scans
 from icet_tpu.keyframe import BlockMap, KeyframeOdometry
 from icet_tpu.mapping import MapMaker
-from icet_tpu.odometry import OdometryPipeline, run_odometry
+from icet_tpu.odometry import (
+    OdometryPipeline,
+    run_odometry,
+    run_odometry_device,
+)
 from icet_tpu.scan_matcher import ScanMatcher
 from icet_tpu.solver import (
     RegistrationResult,
@@ -43,6 +47,7 @@ __all__ = [
     "MapMaker",
     "OdometryPipeline",
     "run_odometry",
+    "run_odometry_device",
     "MapConfig",
     "OdometryConfig",
     "PROFILES",

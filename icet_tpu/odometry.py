@@ -11,6 +11,7 @@ as plain data).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Iterable, Iterator
 
@@ -230,3 +231,87 @@ def run_odometry(
 ) -> list[OdometryFrame]:
     """Convenience wrapper: run the whole sequence, return all frames."""
     return list(OdometryPipeline(cfg, odo_cfg).run(scans))
+
+
+# ---------------------------------------------------------------------------
+# Device-chained sequence runner
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(4,), donate_argnums=())
+def odometry_sequence_jit(
+    frames: jax.Array,
+    model0,
+    x0: jax.Array,
+    T0: jax.Array,
+    cfg: ICETConfig,
+    divergence_clamp: float | jax.Array = 0.3,
+):
+    """Whole odometry SUB-SEQUENCE as one device program.
+
+    ``OdometryPipeline.step`` pays one dispatch per frame — right for a
+    live sensor, but on recorded sequences each dispatch costs host-link
+    latency dwarfing the ~0.7 ms solve (this dev harness's tunnel: 30-150
+    ms/dispatch; production PCIe: ~100 us).  This runner lax.scans the
+    fused register+prepare step over a stacked ``(F, N, 3)`` frame block
+    in ONE dispatch, with the pipeline's exact semantics: warm start from
+    the previous (post-guard) solution, divergence guard zeroing the
+    frame (reference simpleMapMaker.cpp:129-137), world-pose
+    accumulation.
+
+    Returns ``(carry, outs)`` where ``carry = (model, X_last, T_last)``
+    feeds the next block (stream in bounded chunks; 65k-pt frames cost
+    ~0.8 MB HBM each) and ``outs`` stacks per-frame
+    ``(X, pred_stds, diverged, T_world)``.
+    """
+    clamp = jnp.asarray(divergence_clamp, jnp.float32)
+
+    def body(carry, scan):
+        model, xprev, T = carry
+        res, next_model = odometry_step_jit(model, scan, xprev, cfg)
+        diverged = jnp.any(jnp.abs(res.X) > clamp)
+        X = jnp.where(diverged, jnp.zeros_like(res.X), res.X)
+        T2 = compose_pose(T, X)
+        return (next_model, X, T2), (X, res.pred_stds, diverged, T2)
+
+    return jax.lax.scan(body, (model0, x0, T0), frames)
+
+
+def run_odometry_device(
+    scans: np.ndarray,
+    cfg: ICETConfig | None = None,
+    odo_cfg: OdometryConfig | None = None,
+    block: int = 64,
+) -> list[OdometryFrame]:
+    """Run a recorded ``(F, N, 3)`` sequence through the device-chained
+    runner in ``block``-frame dispatches; returns the same
+    ``OdometryFrame`` records as ``OdometryPipeline`` (equivalence pinned
+    by tests/test_odometry.py)."""
+    cfg = cfg or ICETConfig()
+    odo_cfg = odo_cfg or OdometryConfig()
+    scans = np.asarray(scans, np.float32)
+    model = prepare_reference_jit(jnp.asarray(scans[0]), cfg)
+    x = jnp.zeros(6, jnp.float32)
+    T = jnp.eye(4, dtype=jnp.float32)
+    frames: list[OdometryFrame] = []
+    for s in range(1, scans.shape[0], block):
+        blk = jnp.asarray(scans[s : s + block])
+        (model, x, T), (X, stds, div, Tw) = odometry_sequence_jit(
+            blk, model, x, T, cfg, odo_cfg.divergence_clamp
+        )
+        X, stds, div, Tw = (np.asarray(v) for v in (X, stds, div, Tw))
+        for j in range(X.shape[0]):
+            frames.append(
+                OdometryFrame(
+                    index=s + j,
+                    X=X[j],
+                    pred_stds=stds[j],
+                    T_world=Tw[j],
+                    pose=np.asarray(pose_to_state(jnp.asarray(Tw[j]))),
+                    twist=X[j] * odo_cfg.sensor_hz,
+                    diverged=bool(div[j]),
+                    n_corr=np.zeros(0, np.int32),
+                    solve_ms=0.0,
+                )
+            )
+    return frames

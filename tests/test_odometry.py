@@ -83,3 +83,22 @@ def test_warm_start_carries_previous_solution(trajectory):
     # first-iteration correction than the first (cold) frame.
     d1 = frames[1].n_corr
     assert d1 is not None
+
+
+@pytest.mark.slow
+def test_device_chained_runner_matches_pipeline(trajectory):
+    """run_odometry_device (whole sub-sequence in one lax.scan dispatch)
+    must reproduce the streaming pipeline's trajectory: same X, same
+    divergence decisions, same world poses."""
+    from icet_tpu.odometry import run_odometry_device
+
+    scans = np.stack([s for s, _ in trajectory])
+    odo = OdometryConfig(warm_start=True)
+    ref = list(OdometryPipeline(CFG, odo).run(iter(scans)))
+    got = run_odometry_device(scans, CFG, odo, block=3)  # non-divisor block
+    assert len(got) == len(ref)
+    for r, g in zip(ref, got):
+        assert r.index == g.index and r.diverged == g.diverged
+        np.testing.assert_allclose(g.X, r.X, atol=1e-5)
+        np.testing.assert_allclose(g.T_world, r.T_world, atol=1e-4)
+        np.testing.assert_allclose(g.pred_stds, r.pred_stds, rtol=1e-3)
