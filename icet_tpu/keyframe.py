@@ -439,6 +439,121 @@ def keyframe_spawn_jit(
     return model, new_bm
 
 
+@functools.partial(jax.jit, static_argnums=(4, 5, 6), donate_argnums=(2,))
+def keyframe_sequence_jit(
+    frames: jax.Array,
+    model0: VoxelModel,
+    bm0: BlockMap,
+    carry0: tuple,
+    cfg: ICETConfig,
+    kf_cfg: KeyframeConfig,
+    bm_cfg: BlockMapConfig,
+):
+    """Whole keyframe-odometry SUB-SEQUENCE as one device program.
+
+    Device twin of :class:`KeyframeOdometry`'s per-frame host loop (same
+    step, delta-stds bookkeeping, n_corr0 latch, spawn handling — the
+    spawn's prepare runs inside a ``lax.cond`` branch), amortising the
+    per-dispatch host-link latency over ``frames.shape[0]`` frames, the
+    same motivation as :func:`icet_tpu.odometry.odometry_sequence_jit`.
+    Equivalence with the host pipeline is pinned by tests/test_keyframe.py
+    (trajectories match; map CONTENTS differ by RNG stream — the insert
+    downsample draws from a different key sequence, which never feeds back
+    into the solve).
+
+    ``carry0 = (x_rel, delta, world_key6, key, n_corr0, prev_stds)``;
+    returns ``(model, bm, carry), outs`` with per-frame outs
+    ``(delta, delta_stds, world6, diverged, x_rel, is_keyframe, n_corr)``.
+    """
+
+    def body(carry, scan):
+        model, bm, x_rel, delta, world_key, key, n0, prev_stds = carry
+        key, sub, sub2 = jax.random.split(key, 3)
+        res, x2, d2, div, spawn, n_corr, bm2 = _keyframe_step_impl(
+            model, bm, scan, x_rel, delta, sub, n0, cfg, kf_cfg, bm_cfg
+        )
+        n0 = jnp.where(n0 == 0, n_corr, n0)
+        world2 = compose_states(world_key, x2)
+        # Reported stds describe the frame-to-frame DELTA: conservative
+        # independent-sum bound (see KeyframeOdometry._step_device).
+        delta_stds = jnp.sqrt(res.pred_stds**2 + prev_stds**2)
+
+        def do_spawn(_):
+            m2, bm3 = keyframe_spawn_jit(
+                bm2, scan, world2, sub2, jnp.asarray(True), cfg, bm_cfg
+            )
+            return (m2, bm3, jnp.zeros(6, jnp.float32),
+                    jnp.zeros((), jnp.int32), world2,
+                    jnp.zeros(6, jnp.float32))
+
+        def keep(_):
+            return model, bm2, x2, n0, world_key, res.pred_stds
+
+        model, bm, x_rel, n0, world_key, prev_stds = jax.lax.cond(
+            spawn, do_spawn, keep, None
+        )
+        outs = (d2, delta_stds, world2, div, x2, spawn, n_corr)
+        return (model, bm, x_rel, d2, world_key, key, n0, prev_stds), outs
+
+    (model, bm, *carry), outs = jax.lax.scan(
+        body, (model0, bm0, *carry0), frames
+    )
+    return (model, bm, tuple(carry)), outs
+
+
+def run_keyframe_device(
+    scans: np.ndarray,
+    cfg: ICETConfig | None = None,
+    kf_cfg: KeyframeConfig | None = None,
+    bm_cfg: BlockMapConfig | None = None,
+    block: int = 64,
+    seed: int = 0,
+) -> tuple[list["KeyframeFrame"], BlockMap]:
+    """Run a recorded ``(F, N, 3)`` sequence through the device-chained
+    keyframe runner in ``block``-frame dispatches; returns the same
+    ``KeyframeFrame`` records as :class:`KeyframeOdometry` plus the final
+    block map."""
+    cfg = cfg or ICETConfig()
+    kf_cfg = kf_cfg or KeyframeConfig()
+    bm_cfg = bm_cfg or BlockMapConfig()
+    scans = np.asarray(scans, np.float32)
+    key = jax.random.PRNGKey(seed)
+    key, sub = jax.random.split(key)
+    bm = blockmap_init(bm_cfg)
+    model, bm = keyframe_spawn_jit(
+        bm, jnp.asarray(scans[0]), jnp.zeros(6, jnp.float32), sub,
+        jnp.asarray(True), cfg, bm_cfg,
+    )
+    carry = (
+        jnp.zeros(6, jnp.float32), jnp.zeros(6, jnp.float32),
+        jnp.zeros(6, jnp.float32), key, jnp.zeros((), jnp.int32),
+        jnp.zeros(6, jnp.float32),
+    )
+    frames: list[KeyframeFrame] = []
+    for s in range(1, scans.shape[0], block):
+        blk = jnp.asarray(scans[s : s + block])
+        (model, bm, carry), outs = keyframe_sequence_jit(
+            blk, model, bm, carry, cfg, kf_cfg, bm_cfg
+        )
+        d2, stds, world6, div, x2, is_kf, n_corr = (
+            np.asarray(v) for v in outs
+        )
+        for j in range(d2.shape[0]):
+            frames.append(
+                KeyframeFrame(
+                    index=s + j,
+                    X=d2[j],
+                    pred_stds=stds[j],
+                    T_world=np_pose_matrix(world6[j]),
+                    diverged=bool(div[j]),
+                    X_rel=x2[j],
+                    is_keyframe=bool(is_kf[j]),
+                    n_corr=np.asarray(n_corr[j]),
+                )
+            )
+    return frames, bm
+
+
 # ---------------------------------------------------------------------------
 # Host loop
 # ---------------------------------------------------------------------------

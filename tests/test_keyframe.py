@@ -209,3 +209,41 @@ def test_np_pose_helpers_match_jnp():
             atol=1e-6,
         )
         np.testing.assert_allclose(np_pose_to_state(T), X, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_device_chained_keyframe_matches_pipeline(trajectory):
+    """run_keyframe_device (whole sub-sequence, spawn prepare inside a
+    lax.cond) must reproduce the host pipeline's trajectory: same deltas,
+    spawn decisions, and world poses.  Map CONTENTS may differ (the insert
+    downsample draws from a different RNG stream, which never feeds the
+    solve) — compare the map only structurally."""
+    from icet_tpu.keyframe import run_keyframe_device
+
+    cfg = CFG
+    kf_cfg = KeyframeConfig(spawn_distance=1.2, spawn_angle=0.15,
+                            delta_clamp=2.0)
+    bm_cfg = BlockMapConfig(n_blocks=8, block_capacity=4096,
+                            points_per_scan=500)
+    scans = np.stack([s for s, _ in trajectory])
+    ref = KeyframeOdometry(cfg, kf_cfg, bm_cfg)
+    ref_frames = ref.run(iter(scans))
+    got_frames, bm = run_keyframe_device(
+        scans, cfg, kf_cfg, bm_cfg, block=5  # non-divisor block size
+    )
+    assert len(got_frames) == len(ref_frames)
+    for r, g in zip(ref_frames, got_frames):
+        assert (r.index, r.is_keyframe, r.diverged) == (
+            g.index, g.is_keyframe, g.diverged
+        ), (r.index, r.is_keyframe, g.is_keyframe)
+        np.testing.assert_allclose(g.X_rel, r.X_rel, atol=1e-4)
+        np.testing.assert_allclose(g.X, r.X, atol=1e-4)
+        np.testing.assert_allclose(g.T_world, r.T_world, atol=1e-3)
+        np.testing.assert_allclose(g.pred_stds, r.pred_stds, rtol=1e-2)
+    # Map structure: same number of resident blocks, similar fill.
+    assert int(bm.n_blocks) == int(ref.blockmap.n_blocks)
+    ref_fill = int(np.asarray(ref.blockmap.valid).sum())
+    got_fill = int(np.asarray(bm.valid).sum())
+    assert abs(got_fill - ref_fill) <= 0.1 * max(ref_fill, 1), (
+        got_fill, ref_fill
+    )
