@@ -49,6 +49,13 @@ def main():
                          "per-frame azimuth dropout, 2 cm per-frame range "
                          "bias jitter — makes odometry error non-systematic "
                          "so pose-graph refinement has real drift to fix")
+    ap.add_argument("--chained", action="store_true",
+                    help="run the drive through the device-chained "
+                         "sequence runners (64-frame lax.scan blocks per "
+                         "dispatch) instead of one dispatch per frame — "
+                         "~50x less host-link latency on recorded data; "
+                         "ignores --chunk checkpoints (it does not need "
+                         "them) and has no DNN variant yet")
     ap.add_argument("--dnn", action="store_true",
                     help="engage the DNN perspective-shift filter in every "
                          "solve (cfg.dnn_filter; bundled pretrained net)")
@@ -171,8 +178,37 @@ def main():
 
         frame_iter = _stream()
 
-    t0 = time.perf_counter()
-    processed = 0
+    if args.chained:
+        if args.dnn:
+            raise SystemExit("--chained has no DNN variant yet")
+        if not args.state:
+            sl, gl = [], []
+            for s_, T_ in src:
+                sl.append(np.asarray(s_, np.float32))
+                gl.append(np.asarray(T_))
+            scans, gt = np.stack(sl), gl
+        hist = {"X": [], "stds": [], "T": [], "div": []}  # full re-run
+        t0 = time.perf_counter()
+        if args.keyframe:
+            from icet_tpu.keyframe import run_keyframe_device
+
+            recs, _bm = run_keyframe_device(
+                np.asarray(scans), cfg, pipe.kf_cfg, pipe.bm_cfg
+            )
+        else:
+            from icet_tpu.odometry import run_odometry_device
+
+            recs = run_odometry_device(np.asarray(scans), cfg, odo_cfg)
+        for f in recs:
+            hist["X"].append(np.asarray(f.X))
+            hist["stds"].append(np.asarray(f.pred_stds))
+            hist["T"].append(np.asarray(f.T_world))
+            hist["div"].append(bool(f.diverged))
+        processed = len(recs)
+        frame_iter = iter(())
+    else:
+        t0 = time.perf_counter()
+        processed = 0
     for i, scan, T in frame_iter:
         f = pipe.step(np.asarray(scan, np.float32))
         processed += 1
