@@ -56,7 +56,8 @@ def sample_voxel_points(
     reference's per-voxel host-side shuffles (ICET_spherical.py:303-312).
 
     ``mode="head"`` (default) takes the first S of each voxel's run (the
-    voxel's sample mean filling the tail when shorter).  Scan order is
+    voxel's FIRST point repeated in the tail when shorter — max-pool
+    neutral; see the inline note below).  Scan order is
     preserved, so on beam-major scans this is the voxel's lowest beam
     rows — a spatially biased subset in theory, but the MEASURED-better
     choice: on the fence occlusion benchmark (tests/test_dnn_filter.py)

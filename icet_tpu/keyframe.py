@@ -512,8 +512,18 @@ def run_keyframe_device(
     """Run a recorded ``(F, N, 3)`` sequence through the device-chained
     keyframe runner in ``block``-frame dispatches; returns the same
     ``KeyframeFrame`` records as :class:`KeyframeOdometry` plus the final
-    block map."""
+    block map.
+
+    ``cfg.dnn_filter`` is NOT supported here (raises — use
+    :class:`KeyframeOdometry`, whose DNN step carries the keyframe's
+    per-voxel sample state this chained body does not)."""
     cfg = cfg or ICETConfig()
+    if cfg.dnn_filter:
+        raise NotImplementedError(
+            "run_keyframe_device does not support cfg.dnn_filter; use "
+            "KeyframeOdometry (per-frame dispatches) for the DNN-filtered "
+            "mode"
+        )
     kf_cfg = kf_cfg or KeyframeConfig()
     bm_cfg = bm_cfg or BlockMapConfig()
     scans = np.asarray(scans, np.float32)

@@ -238,7 +238,7 @@ def run_odometry(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnums=(4,), donate_argnums=())
+@functools.partial(jax.jit, static_argnums=(4, 6), donate_argnums=())
 def odometry_sequence_jit(
     frames: jax.Array,
     model0,
@@ -246,6 +246,7 @@ def odometry_sequence_jit(
     T0: jax.Array,
     cfg: ICETConfig,
     divergence_clamp: float | jax.Array = 0.3,
+    warm_start: bool = True,
 ):
     """Whole odometry SUB-SEQUENCE as one device program.
 
@@ -263,12 +264,18 @@ def odometry_sequence_jit(
     feeds the next block (stream in bounded chunks; 65k-pt frames cost
     ~0.8 MB HBM each) and ``outs`` stacks per-frame
     ``(X, pred_stds, diverged, T_world)``.
+
+    ``warm_start=False`` seeds every frame's solve from zeros instead of
+    the carried previous solution (OdometryConfig.warm_start semantics).
+    The DNN perspective-shift filter is NOT supported by this runner (see
+    :func:`run_odometry_device`).
     """
     clamp = jnp.asarray(divergence_clamp, jnp.float32)
 
     def body(carry, scan):
         model, xprev, T = carry
-        res, next_model = odometry_step_jit(model, scan, xprev, cfg)
+        seed = xprev if warm_start else jnp.zeros_like(xprev)
+        res, next_model = odometry_step_jit(model, scan, seed, cfg)
         diverged = jnp.any(jnp.abs(res.X) > clamp)
         X = jnp.where(diverged, jnp.zeros_like(res.X), res.X)
         T2 = compose_pose(T, X)
@@ -286,9 +293,20 @@ def run_odometry_device(
     """Run a recorded ``(F, N, 3)`` sequence through the device-chained
     runner in ``block``-frame dispatches; returns the same
     ``OdometryFrame`` records as ``OdometryPipeline`` (equivalence pinned
-    by tests/test_odometry.py)."""
+    by tests/test_odometry.py).
+
+    Limits vs the host pipeline: ``cfg.dnn_filter`` is NOT supported here
+    (raises — use :class:`OdometryPipeline`, whose DNN step carries the
+    per-frame voxel-sample state this chained body does not);
+    ``odo_cfg.warm_start=False`` is honored (zero seed every frame)."""
     cfg = cfg or ICETConfig()
     odo_cfg = odo_cfg or OdometryConfig()
+    if cfg.dnn_filter:
+        raise NotImplementedError(
+            "run_odometry_device does not support cfg.dnn_filter; use "
+            "OdometryPipeline (per-frame dispatches) for the DNN-filtered "
+            "mode"
+        )
     scans = np.asarray(scans, np.float32)
     model = prepare_reference_jit(jnp.asarray(scans[0]), cfg)
     x = jnp.zeros(6, jnp.float32)
@@ -297,7 +315,8 @@ def run_odometry_device(
     for s in range(1, scans.shape[0], block):
         blk = jnp.asarray(scans[s : s + block])
         (model, x, T), (X, stds, div, Tw) = odometry_sequence_jit(
-            blk, model, x, T, cfg, odo_cfg.divergence_clamp
+            blk, model, x, T, cfg, odo_cfg.divergence_clamp,
+            odo_cfg.warm_start,
         )
         X, stds, div, Tw = (np.asarray(v) for v in (X, stds, div, Tw))
         for j in range(X.shape[0]):

@@ -86,7 +86,8 @@ def test_metrics_log(tmp_path):
         n_dropped_axes = np.array([0, 0])
         n_rejected_moving = np.array([0, 1])
         dx_norm = np.array([0.5, 0.01])
-        windowed_overflow = np.array([0, 3])
+        # Above the solver's spill capacity -> a true segsum fallback.
+        windowed_overflow = np.array([0, 9000])
 
     class FakeRes:
         X = np.zeros(6)
@@ -102,6 +103,15 @@ def test_metrics_log(tmp_path):
     assert rec["index"] == 3 and rec["n_corr"] == 20
     assert rec["n_rejected_moving"] == 1
     assert rec["windowed_fallback"] is True
+    assert rec["windowed_spill_points"] == 9000
+
+    # Counts within the spill capacity are absorbed exactly by the cheap
+    # spill path — NOT a fallback (they'd false-alarm on ~3/4 of healthy
+    # keyframe-regime frames otherwise).
+    FakeDiag.windowed_overflow = np.array([0, 3000])
+    m2 = FrameMetrics.from_result(4, FakeRes())
+    assert m2.windowed_fallback is False
+    assert m2.windowed_spill_points == 3000
 
 
 def test_checkpoint_roundtrip(tmp_path):
