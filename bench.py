@@ -293,6 +293,41 @@ def main(headline_only: bool = False) -> None:
 
     reg_ms = _slope_ms(make_reg, (c1, c2, x0), np.asarray)
 
+    # --- batched registration throughput (the mapping / Monte-Carlo
+    # regime the dp sharding layer exists for): B independent pairs vmapped
+    # through register at the reference's exact fixed-runlen-7 semantics,
+    # voxel models amortised like register_only.  Chained honestly: the
+    # batch of solutions feeds the next chain step's initial guesses (true
+    # data dependency; fixed runlen keeps per-step work X-independent).
+    # Throughput and single-solve latency are different regimes — batching
+    # amortises per-dispatch scheduling and fills the chip's parallelism,
+    # at higher HBM pressure from B live (V+1) table sets.
+    BATCH = 16
+    pairs1 = drive[:BATCH]
+    pairs2 = jnp.roll(drive, -1, axis=0)[:BATCH]
+
+    def make_batched(chain):
+        @jax.jit
+        def g(s1b, s2b, x):
+            models = jax.vmap(
+                lambda s: prepare_reference(s, cfg_fixed)
+            )(s1b)
+            xb = jnp.tile(x, (BATCH, 1))
+
+            def body(xc, _):
+                xn = jax.vmap(
+                    lambda m, s, xx: register(m, s, xx, cfg_fixed).X
+                )(models, s2b, xc)
+                return xn, None
+
+            xf, _ = jax.lax.scan(body, xb, None, length=chain)
+            return xf
+
+        return g
+
+    batched_step_ms = _slope_ms(make_batched, (pairs1, pairs2, x0), np.asarray)
+    batched_pairs_per_s = BATCH / (batched_step_ms * 1e-3)
+
     # --- DNN-filtered odometry step (in-loop reference semantics,
     # ICET_spherical.py:288-390 — the production dnn_filter=True cost).
     # Guarded: the DNN chain's compiles are the longest in this file, and a
@@ -352,6 +387,8 @@ def main(headline_only: bool = False) -> None:
         "worst_case_frame_ms": round(alt_ms, 4),
         "keyframe_frame_ms": round(kf_ms, 4),
         "register_only_fixed7_ms": round(reg_ms, 4),
+        "batched_pairs_per_s": round(batched_pairs_per_s, 1),
+        "batched_batch": BATCH,
         "dnn_frame_ms": None if dnn_ms is None else round(dnn_ms, 4),
     }
     print(json.dumps(out))

@@ -132,6 +132,17 @@ class ICETConfig:
     dnn_thresh: float = 0.05
     #: points sampled per scan per voxel for the DNN input (reference 100)
     dnn_sample_pts: int = 100
+    #: refinement passes of the bias network per rejection: the running
+    #: shift estimate re-centres sample 1 and the net re-predicts
+    #: (reference ICET_spherical.py:324-336 hard-codes 2).  Each pass costs
+    #: one encoder forward (~0.95 ms at V=1801, S=100 on the v5e).
+    #: Default 1 — a DOCUMENTED deviation: on the fence-occlusion efficacy
+    #: benchmark (tests/test_dnn_filter.py, seeds 11/23/42) one pass
+    #: already rejects the bias (0.69/0.03/0.23 mm vs 1.25/0.47/0.70
+    #: unfiltered) and the second pass's change is within seed noise
+    #: (0.52/0.17/0.22 mm) while costing a full extra forward.  Set 2 for
+    #: exact reference semantics.
+    dnn_refine_steps: int = 1
     #: True = reference semantics: the filter mask is recomputed from the
     #: CURRENT cumulative estimate before every iteration past
     #: dnn_start_iter, inside the solve loop (ICET_spherical.py:288-390).
@@ -173,6 +184,13 @@ class OdometryConfig:
     #: warm-start each solve with the previous solution
     #: (reference odometry.cpp:82)
     warm_start: bool = True
+    #: warm-start seed construction: "previous" = the previous frame's
+    #: solution verbatim (reference odometry.cpp:82 — a constant-velocity
+    #: assumption); "extrapolate" = constant-ACCELERATION prediction from
+    #: the last two frame deltas, ``D_k ∘ (D_{k-1}⁻¹ ∘ D_k)``, which on
+    #: smooth segments starts the solve closer and cuts iterations (no
+    #: reference equivalent).  Ignored when ``warm_start`` is False.
+    warm_start_mode: str = "previous"
     #: zero the transform if any component exceeds this (divergence guard,
     #: reference simpleMapMaker.cpp:129-137)
     divergence_clamp: float = 0.3

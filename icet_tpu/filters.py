@@ -69,18 +69,23 @@ def sample_voxel_points(
     together under the sampling scheme, so representativeness does not
     automatically help.
 
-    Construction is SCATTER-based for head mode: per-point within-voxel
-    ranks from one key/value sort + a segment-boundary cummax, then one
-    unique-index scatter into the dense (V+1, S, 3) buffer.  The obvious
-    gather formulation (``points[order[take]]``) costs 4.5 ms/call on the
-    v5e — TPU random-row gathers run ~17 ns/row, so (V+1)x100 sample rows
-    dominate the whole DNN filter — where the two 65k scatters are ~N
-    rows, not (V+1)*S.  Strided mode needs arbitrary per-voxel positions
-    (no rank test selects them), so it keeps the gather construction.
+    Construction is SCATTER-based for head mode: one multi-operand stable
+    sort carries xyz alongside the voxel-id keys, within-voxel ranks come
+    from a segment-boundary cummax in sorted space, and ONE unique-index
+    scatter writes the sorted points into the dense (V+1, S, 3) buffer.
+    The obvious gather formulation (``points[order[take]]``) costs
+    4.5 ms/call on the v5e — TPU random-row gathers run ~17 ns/row, so
+    (V+1)x100 sample rows dominate the whole DNN filter.  The first
+    scatter-based version sorted (vid, idx) and paid a SECOND 65k scatter
+    to permute ranks back to original positions (1.70 ms/call); carrying
+    the coordinates through the sort removes it (measured 1.05 ms/call,
+    of which the one (n,3) scatter is ~0.7 — tools/bench_dnn_opt.py).
+    Strided mode needs arbitrary per-voxel positions (no rank test
+    selects them), so it keeps the gather construction.
     """
     n = points.shape[0]
     vidm = jnp.where(member, vid, n_voxels).astype(jnp.int32)
-    if counts is None:
+    if mode == "strided" and counts is None:
         # ``counts`` must equal the sort's segment sizes; pass the windowed
         # fast-path counts when the scan is beam-major (the 65k scatter-add
         # here measured 1.3 ms/call on the v5e vs ~0.15 windowed).
@@ -102,67 +107,65 @@ def sample_voxel_points(
     S = n_samples
     v1 = n_voxels + 1
     idx = jnp.arange(n, dtype=jnp.int32)
-    # One sort gives both the sorted keys and the permutation; the stable
-    # ordering keeps scan order within each voxel (head semantics).
-    vs, order = jax.lax.sort_key_val(vidm, idx, is_stable=True)
+    # One stable multi-operand sort carries the coordinates alongside the
+    # voxel-id keys (stable ordering keeps scan order within each voxel —
+    # head semantics) so no later gather or permutation scatter is needed.
+    vs, xs, ys, zs = jax.lax.sort(
+        (vidm, points[:, 0], points[:, 1], points[:, 2]),
+        num_keys=1, is_stable=True,
+    )
     # Within-voxel rank in sorted space: position minus the running
     # maximum of segment-start positions (no gather).
     seg_start = jnp.where(
         jnp.concatenate([jnp.ones((1,), bool), vs[1:] != vs[:-1]]), idx, 0
     )
     start = jax.lax.associative_scan(jnp.maximum, seg_start)
-    rank_sorted = idx - start
-    # Rank back at original positions: a permutation scatter.
-    rank = (
-        jnp.zeros(n, jnp.int32).at[order].set(rank_sorted, unique_indices=True)
-    )
-    write = member & (rank < S)
-    tgt = jnp.where(write, vidm * S + rank, v1 * S)  # OOB row -> dropped
+    rank = idx - start
+    write = (vs < n_voxels) & (rank < S)
+    tgt = jnp.where(write, vs * S + rank, v1 * S)  # OOB row -> dropped
     buf = (
         jnp.zeros((v1 * S, 3), points.dtype)
         .at[tgt]
-        .set(points, mode="drop", unique_indices=True)
+        .set(jnp.stack([xs, ys, zs], axis=-1), mode="drop",
+             unique_indices=True)
     )
     samples = buf.reshape(v1, S, 3)
+    # Written slots are recovered from the buffer itself: member points are
+    # range-gated (r >= min_range and inside positive radial bounds; exact
+    # origin points never pass membership), so a slot is written iff any
+    # coordinate is nonzero.  This replaces the dense per-voxel counts the
+    # old path needed (windowed one-hot + an overflow lax.cond that alone
+    # measured ~0.3 ms/call in the chained step) — head mode returns counts
+    # CLIPPED to S, which is all its consumers use (means clip anyway;
+    # min-points gates satisfy min_pts <= S).
+    row_ok = jnp.any(samples != 0.0, axis=-1)
     # Tail rows (count < S) repeat the voxel's FIRST point: a real point,
     # so the bias net's max-pool sees exactly the same feature set as the
     # old cyclic padding (duplicates are max-neutral), with no
     # (V+1, S)-row gather.  (Mean-padding was tried instead and WEAKENED
     # the filter on the fence-occlusion efficacy benchmark — the net never
     # saw synthetic centroid points in training.)
-    cl = jnp.clip(counts, 1, S)
-    row_ok = jnp.arange(S, dtype=jnp.int32)[None, :] < cl[:, None]
     samples = jnp.where(row_ok[..., None], samples, samples[:, :1, :])
-    return samples, counts
+    return samples, jnp.sum(row_ok.astype(jnp.int32), axis=-1)
 
 
 def model_voxel_samples(model: VoxelModel, scan1: jax.Array, cfg: ICETConfig):
     """Per-voxel point samples of the model's source scan — loop-invariant
     input to :func:`dnn_reject_mask` (hoist out of per-iteration loops).
 
-    Voxel counts ride the windowed one-hot fast path on beam-major scans
-    (exact; cond-falls back to the segment-sum on overflow), the same
-    counts-hint pattern the clustering readback uses."""
-    from icet_tpu.ops.windowed_moments import windowed_vid_counts
-
+    Returns ``(samples, counts)`` with counts CLIPPED to
+    ``cfg.dnn_sample_pts`` (head-mode sampling recovers them from the
+    scatter buffer — the earlier windowed-one-hot counts + overflow
+    lax.cond measured ~0.3 ms/call of pure conditional overhead in the
+    chained odometry step)."""
     rtp = cart_to_spherical(scan1)
     vid = voxel_ids(rtp, cfg)
     member = membership(
         vid, rtp[..., 0], rtp[..., 0] >= cfg.min_range, model.bounds,
         cfg.n_voxels,
     )
-    vidm = jnp.where(member, vid, cfg.n_voxels).astype(jnp.int32)
-    counts_w, ovf = windowed_vid_counts(vid.astype(jnp.int32), member, cfg)
-    counts = jax.lax.cond(
-        ovf == 0,
-        lambda: counts_w,
-        lambda: jax.ops.segment_sum(
-            jnp.ones_like(vidm, jnp.int32), vidm,
-            num_segments=cfg.n_voxels + 1,
-        ),
-    )
     return sample_voxel_points(
-        scan1, vid, member, cfg.n_voxels, cfg.dnn_sample_pts, counts=counts
+        scan1, vid, member, cfg.n_voxels, cfg.dnn_sample_pts
     )
 
 
@@ -180,7 +183,7 @@ def dnn_reject_mask(
     scan1: jax.Array,
     scan2_aligned: jax.Array,
     cfg: ICETConfig,
-    refine_steps: int = 2,
+    refine_steps: int | None = None,
     samples1: tuple | None = None,
 ) -> DnnFilterResult:
     """Compute the keep-mask for voxels whose ICET residual disagrees with
@@ -192,6 +195,11 @@ def dnn_reject_mask(
     scan 1 and the model are loop-invariant across the in-loop filter's
     iterations, so its sort+gather pass hoists out of the scanned body.
     """
+    # Head-mode sample counts are clipped at dnn_sample_pts; the min-points
+    # candidate gate below is exact only under this (canonical 25 <= 100).
+    assert cfg.min_pts <= cfg.dnn_sample_pts, (
+        "dnn filter needs min_pts <= dnn_sample_pts (clipped counts)"
+    )
     s1, n1 = (
         samples1 if samples1 is not None
         else model_voxel_samples(model, scan1, cfg)
@@ -219,6 +227,8 @@ def dnn_reject_mask(
     # activations; the flax apply's HBM round-trips dominated the filter's
     # per-frame cost).
     shift = jnp.zeros_like(icet_shift)
+    if refine_steps is None:
+        refine_steps = cfg.dnn_refine_steps
     for _ in range(refine_steps):
         from icet_tpu.models.bias_net import apply_bias_net, pack_voxel_samples
 

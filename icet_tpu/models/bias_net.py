@@ -87,41 +87,47 @@ def pack_voxel_samples(sample1: jax.Array, sample2: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 #
 # The flax encoder materialises every (V, 2S, 64/128/256) activation in HBM
-# (plus LayerNorm re-reads) — ~1.3 GB of traffic per forward at the
-# canonical V=1801, S=100, measured as the bulk of the DNN filter's
-# per-frame cost on the v5e.  The fused kernel keeps one voxel tile's
-# activations in VMEM through all three Dense+LayerNorm+ReLU stages and the
-# max-pool; HBM traffic drops to the (V, 2S, 4) input + (V, 256) pooled
-# output.  Static shapes, no dynamic offsets (the Mosaic bugs documented in
-# ops/pallas_fused.py are all dynamic-offset cases).
+# (plus LayerNorm re-reads) — measured 1.41 ms/forward in bf16 at the
+# canonical V=1801, S=100 on the v5e (f32 was ~3x that).  The fused path
+# SPLITS the encoder: the first Dense+LN+ReLU runs as plain XLA on the
+# (V*2S, 4) rows — its 4-wide input is lane-hostile inside a kernel (TPU
+# lane width 128; an all-in-kernel (TILE, 2S, 4) input block measured
+# SLOWER than flax, 1.74 ms, from ~3% lane utilization + an in-kernel
+# relayout) — then one Pallas kernel keeps each voxel tile's (2S, 64/128/
+# 256) activations in VMEM through the remaining Dense+LN+ReLU stages and
+# the max-pool.  Measured 0.97 ms/forward (tools/bench_encoder_variants.py;
+# tile 8/16/32 within noise).  Static shapes, no dynamic offsets (the
+# Mosaic bugs documented in ops/pallas_fused.py are all dynamic-offset
+# cases).
 
 _TILE_V = 16
 
 
-def _encoder_kernel(x_ref, *refs):
-    """One voxel tile through the bf16 encoder: (TB, P, C) -> (TB, F)."""
+def _dense_ln_relu(h, w, b, g, be):
+    """One Dense+LayerNorm+ReLU matching flax bf16 semantics: f32 MXU
+    accumulation cast to bf16, bias added in bf16; LayerNorm statistics in
+    f32 (flax _compute_stats promotes), fast-variance form, eps 1e-6."""
+    a = jnp.dot(
+        h, w.astype(jnp.bfloat16), preferred_element_type=jnp.float32
+    )
+    a = (a.astype(jnp.bfloat16) + b.astype(jnp.bfloat16)).astype(jnp.float32)
+    mu = jnp.mean(a, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(a * a, axis=-1, keepdims=True) - mu * mu, 0.0)
+    y = (a - mu) * jax.lax.rsqrt(var + 1e-6)
+    y = y * g.astype(jnp.float32) + be.astype(jnp.float32)
+    return jnp.maximum(y, 0.0).astype(jnp.bfloat16)
+
+
+def _encoder_kernel(h_ref, *refs):
+    """One voxel tile through encoder stages 2..n + pool: (TB, P, C) ->
+    (TB, F).  Input is the FIRST stage's (lane-wide) activations."""
     out_ref = refs[-1]
     wrefs = refs[:-1]
-    tb, p, c = x_ref.shape
-    h = x_ref[:].reshape(tb * p, c).astype(jnp.bfloat16)
+    tb, p, c = h_ref.shape
+    h = h_ref[:].reshape(tb * p, c)
     for i in range(0, len(wrefs), 4):
         w, b, g, be = (r[:] for r in wrefs[i : i + 4])
-        # Match flax Dense(dtype=bf16): f32 MXU accumulation cast to bf16,
-        # bias added in bf16; LayerNorm statistics in f32 (flax
-        # _compute_stats promotes), fast-variance form, eps 1e-6.
-        a = jnp.dot(
-            h, w.astype(jnp.bfloat16), preferred_element_type=jnp.float32
-        )
-        a = (a.astype(jnp.bfloat16) + b.astype(jnp.bfloat16)).astype(
-            jnp.float32
-        )
-        mu = jnp.mean(a, axis=-1, keepdims=True)
-        var = jnp.maximum(
-            jnp.mean(a * a, axis=-1, keepdims=True) - mu * mu, 0.0
-        )
-        y = (a - mu) * jax.lax.rsqrt(var + 1e-6)
-        y = y * g.astype(jnp.float32) + be.astype(jnp.float32)
-        h = jnp.maximum(y, 0.0).astype(jnp.bfloat16)
+        h = _dense_ln_relu(h, w, b, g, be)
     f = h.shape[-1]
     out_ref[:] = jnp.max(
         h.reshape(tb, p, f).astype(jnp.float32), axis=1
@@ -164,27 +170,37 @@ def apply_bias_net(net: "BiasNet", params, x: jax.Array, *,
     enc, head = _split_params(params)
     b, p_pts, c = x.shape
     feat = enc[-1].shape[0]  # final LayerNorm width == pooled width
-    pad = (-b) % _TILE_V
-    xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0))) if pad else x
-    grid = (xp.shape[0] // _TILE_V,)
-    pooled = pl.pallas_call(
-        _encoder_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (_TILE_V, p_pts, c),
-                lambda i: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            )
-        ]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(enc),
-        out_specs=pl.BlockSpec(
-            (_TILE_V, feat), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((xp.shape[0], feat), jnp.float32),
-        interpret=interpret,
-    )(xp.astype(jnp.float32), *enc)
-    g = pooled[:b]
+    # Stage 1 in XLA: (V*2S, 4) -> (V*2S, 64).  The kernel's remaining
+    # stages then load lane-wide (>= 64) blocks.
+    h1 = _dense_ln_relu(
+        x.reshape(b * p_pts, c).astype(jnp.bfloat16), *enc[:4]
+    ).reshape(b, p_pts, -1)
+    kenc = enc[4:]
+    if not kenc:  # single-stage encoder: nothing left to fuse — pool + head
+        pooled = jnp.max(h1.astype(jnp.float32), axis=-2)
+    else:
+        pad = (-b) % _TILE_V
+        hp = jnp.pad(h1, ((0, pad), (0, 0), (0, 0))) if pad else h1
+        grid = (hp.shape[0] // _TILE_V,)
+        pooled = pl.pallas_call(
+            _encoder_kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (_TILE_V, p_pts, hp.shape[-1]),
+                    lambda i: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            ]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(kenc),
+            out_specs=pl.BlockSpec(
+                (_TILE_V, feat), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((hp.shape[0], feat), jnp.float32),
+            interpret=interpret,
+        )(hp, *kenc)
+        pooled = pooled[:b]
+    g = pooled
     # f32 head on the pooled codes (negligible traffic), as in BiasNet.
     for w, bias in head[:-1]:
         g = jnp.maximum(jnp.dot(g, w) + bias, 0.0)

@@ -20,8 +20,30 @@ import jax.numpy as jnp
 import numpy as np
 
 from icet_tpu.config import ICETConfig, OdometryConfig
-from icet_tpu.ops.geometry import compose_pose, pose_to_state
+from icet_tpu.ops.geometry import (
+    compose_pose,
+    compose_states,
+    pose_to_state,
+    relative_state,
+)
 from icet_tpu.solver import odometry_step_jit, prepare_reference_jit
+
+
+def warm_start_seed(
+    x_prev: jax.Array, x_prev2: jax.Array, mode: str
+) -> jax.Array:
+    """Initial-guess construction for the next frame's solve.
+
+    ``"previous"``: the previous solution verbatim (reference
+    odometry.cpp:82).  ``"extrapolate"``: constant-acceleration prediction
+    ``D_k ∘ (D_{k-1}⁻¹ ∘ D_k)`` from the last two frame deltas — exact
+    composition, not the small-angle ``2·D_k − D_{k-1}`` linearisation.
+    """
+    if mode == "previous":
+        return x_prev
+    if mode == "extrapolate":
+        return compose_states(x_prev, relative_state(x_prev2, x_prev))
+    raise ValueError(f"unknown warm_start_mode {mode!r}")
 
 
 @dataclasses.dataclass
@@ -85,6 +107,7 @@ class OdometryPipeline:
         self._scan_prev = None
         self._samples_prev = None
         self._X_prev = jnp.zeros(6, jnp.float32)
+        self._X_prev2 = jnp.zeros(6, jnp.float32)
         self._T_world = jnp.eye(4, dtype=jnp.float32)
         self._index = 0
         # Host-side mirrors for device-loss recovery: the tiny pose state
@@ -134,6 +157,7 @@ class OdometryPipeline:
         dev = healthy[0]
         self.recoveries += 1
         self._X_prev = jax.device_put(self._X_host, dev)
+        self._X_prev2 = self._X_prev  # re-lock: no velocity history
         self._T_world = jax.device_put(self._T_host, dev)
         if self._last_scan is not None:
             scan_dev = jax.device_put(self._last_scan, dev)
@@ -166,7 +190,9 @@ class OdometryPipeline:
             return None
 
         x0 = (
-            self._X_prev
+            warm_start_seed(
+                self._X_prev, self._X_prev2, self.odo_cfg.warm_start_mode
+            )
             if self.odo_cfg.warm_start
             else jnp.zeros(6, jnp.float32)
         )
@@ -195,6 +221,10 @@ class OdometryPipeline:
             X = jnp.zeros(6, jnp.float32)
 
         self._T_world = compose_pose(self._T_world, X)
+        # After a diverged (zeroed) frame, collapse the velocity history so
+        # an "extrapolate" warm start re-locks from the zero seed instead of
+        # predicting a deceleration from the discarded solution.
+        self._X_prev2 = self._X_prev if not diverged else X
         self._X_prev = X
         # Next frame registers against this scan's (already fitted) model.
         self._model = next_model
@@ -238,7 +268,7 @@ def run_odometry(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnums=(4, 6), donate_argnums=())
+@functools.partial(jax.jit, static_argnums=(4, 6, 7), donate_argnums=())
 def odometry_sequence_jit(
     frames: jax.Array,
     model0,
@@ -247,6 +277,7 @@ def odometry_sequence_jit(
     cfg: ICETConfig,
     divergence_clamp: float | jax.Array = 0.3,
     warm_start: bool = True,
+    warm_start_mode: str = "previous",
 ):
     """Whole odometry SUB-SEQUENCE as one device program.
 
@@ -266,22 +297,33 @@ def odometry_sequence_jit(
     ``(X, pred_stds, diverged, T_world)``.
 
     ``warm_start=False`` seeds every frame's solve from zeros instead of
-    the carried previous solution (OdometryConfig.warm_start semantics).
-    The DNN perspective-shift filter is NOT supported by this runner (see
+    the carried previous solution (OdometryConfig.warm_start semantics);
+    ``warm_start_mode="extrapolate"`` predicts from the last two deltas
+    (the velocity history resets at each block boundary — the first frame
+    of a block seeds from the previous solution verbatim).  The DNN
+    perspective-shift filter is NOT supported by this runner (see
     :func:`run_odometry_device`).
     """
     clamp = jnp.asarray(divergence_clamp, jnp.float32)
 
     def body(carry, scan):
-        model, xprev, T = carry
-        seed = xprev if warm_start else jnp.zeros_like(xprev)
+        model, xprev, xprev2, T = carry
+        if warm_start:
+            seed = warm_start_seed(xprev, xprev2, warm_start_mode)
+        else:
+            seed = jnp.zeros_like(xprev)
         res, next_model = odometry_step_jit(model, scan, seed, cfg)
         diverged = jnp.any(jnp.abs(res.X) > clamp)
         X = jnp.where(diverged, jnp.zeros_like(res.X), res.X)
         T2 = compose_pose(T, X)
-        return (next_model, X, T2), (X, res.pred_stds, diverged, T2)
+        # Post-divergence: collapse velocity history (see OdometryPipeline).
+        xp2 = jnp.where(diverged, X, xprev)
+        return (next_model, X, xp2, T2), (X, res.pred_stds, diverged, T2)
 
-    return jax.lax.scan(body, (model0, x0, T0), frames)
+    (model, X, _xp2, T), outs = jax.lax.scan(
+        body, (model0, x0, x0, T0), frames
+    )
+    return (model, X, T), outs
 
 
 def run_odometry_device(
@@ -316,7 +358,7 @@ def run_odometry_device(
         blk = jnp.asarray(scans[s : s + block])
         (model, x, T), (X, stds, div, Tw) = odometry_sequence_jit(
             blk, model, x, T, cfg, odo_cfg.divergence_clamp,
-            odo_cfg.warm_start,
+            odo_cfg.warm_start, odo_cfg.warm_start_mode,
         )
         X, stds, div, Tw = (np.asarray(v) for v in (X, stds, div, Tw))
         for j in range(X.shape[0]):

@@ -102,3 +102,39 @@ def test_device_chained_runner_matches_pipeline(trajectory):
         np.testing.assert_allclose(g.X, r.X, atol=1e-5)
         np.testing.assert_allclose(g.T_world, r.T_world, atol=1e-4)
         np.testing.assert_allclose(g.pred_stds, r.pred_stds, rtol=1e-3)
+
+
+def test_warm_start_seed_modes():
+    """'previous' returns the last delta verbatim; 'extrapolate' is the
+    exact constant-acceleration composition (equals 2*Dk - Dk-1 for
+    commuting small motions)."""
+    import jax.numpy as jnp
+
+    from icet_tpu.odometry import warm_start_seed
+
+    d1 = jnp.asarray([0.10, 0.00, 0.0, 0.0, 0.0, 0.00], jnp.float32)
+    d2 = jnp.asarray([0.14, 0.02, 0.0, 0.0, 0.0, 0.00], jnp.float32)
+    np.testing.assert_allclose(warm_start_seed(d2, d1, "previous"), d2)
+    pred = warm_start_seed(d2, d1, "extrapolate")
+    np.testing.assert_allclose(
+        np.asarray(pred), np.asarray(2 * d2 - d1), atol=1e-6
+    )
+    with pytest.raises(ValueError):
+        warm_start_seed(d2, d1, "nope")
+
+
+@pytest.mark.slow
+def test_extrapolate_mode_device_runner_matches_pipeline(trajectory):
+    """warm_start_mode='extrapolate' produces the same trajectory through
+    the host pipeline and the device-chained runner (block=len so the
+    runner's per-block history reset never fires)."""
+    from icet_tpu.odometry import run_odometry_device
+
+    scans = np.stack([s for s, _ in trajectory])
+    odo = OdometryConfig(warm_start=True, warm_start_mode="extrapolate")
+    ref = list(OdometryPipeline(CFG, odo).run(iter(scans)))
+    got = run_odometry_device(scans, CFG, odo, block=len(scans))
+    assert len(got) == len(ref)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(g.X, r.X, atol=1e-5)
+        np.testing.assert_allclose(g.T_world, r.T_world, atol=1e-4)
