@@ -77,6 +77,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "default mis-clusters noisy sparse scans; the "
                          "reference's own code comments say 0.3-0.5 outdoor)")
     ap.add_argument("--oracle-buff", type=float, default=0.1)
+    ap.add_argument("--strict-real", action="store_true",
+                    help="real-data mode: fail fast on format surprises "
+                         "(truncated .bin, scans over --max-points, "
+                         "non-finite points, short poses file) instead of "
+                         "silently padding/subsampling")
     return ap
 
 
@@ -111,6 +116,7 @@ def run(args) -> dict:
         args.sequence, poses_file=args.poses, max_points=args.max_points,
         start=args.start,
         end=None if args.frames is None else args.start + args.frames,
+        strict=args.strict_real,
     )
 
     if args.keyframe:

@@ -75,6 +75,15 @@ class KittiOdometrySource:
     pthreads, icet_tpu/native/icet_native.c) when the extension builds,
     falling back to in-process numpy reads; ``True`` requires it,
     ``False`` disables it.
+
+    ``strict`` is the real-data mode (``eval_kitti.py --strict-real``):
+    instead of silently padding/subsampling past a format surprise it
+    fails fast on (a) a ``.bin`` whose byte size is not a whole number of
+    16-byte records, (b) a scan with more returns than ``max_points``,
+    (c) non-finite coordinates, and (d) a poses file with fewer rows than
+    there are scans (which would mis-score the tail).  File-size checks
+    run up front (stat only), so the native prefetcher stays engaged;
+    per-scan value checks run as scans stream.
     """
 
     def __init__(
@@ -86,6 +95,7 @@ class KittiOdometrySource:
         start: int = 0,
         end: int | None = None,
         prefetch: str | bool = "auto",
+        strict: bool = False,
     ):
         self.velodyne_dir = os.path.join(sequence_dir, "velodyne")
         self.files = sorted(
@@ -98,6 +108,22 @@ class KittiOdometrySource:
         self.max_points = max_points
         self.beam_major = beam_major
         self.prefetch = prefetch
+        self.strict = strict
+        if strict:
+            for path in self.files:
+                size = os.path.getsize(path)
+                if size % 16:
+                    raise ValueError(
+                        f"{path}: {size} bytes is not a whole number of "
+                        "16-byte (x, y, z, reflectance) records — "
+                        "truncated or not a KITTI velodyne .bin"
+                    )
+                if size // 16 > max_points:
+                    raise ValueError(
+                        f"{path}: {size // 16} returns > max_points="
+                        f"{max_points}; strict mode refuses the silent "
+                        "stride subsample — raise max_points"
+                    )
         if prefetch is True:
             from icet_tpu.native import ensure_built
 
@@ -109,6 +135,12 @@ class KittiOdometrySource:
         self.poses: np.ndarray | None = None
         if poses_file is not None:
             cam_poses = load_poses(poses_file)[start:]
+            if strict and cam_poses.shape[0] < len(self.files):
+                raise ValueError(
+                    f"{poses_file}: {cam_poses.shape[0]} poses after "
+                    f"start={start} for {len(self.files)} scans — a short "
+                    "poses file would silently mis-score the tail"
+                )
             tr = load_calib_tr(os.path.join(sequence_dir, "calib.txt"))
             if tr is not None:
                 cam_poses = cam_poses @ tr  # T_w<-velo = T_w<-cam0 @ Tr
@@ -153,10 +185,14 @@ class KittiOdometrySource:
                     "prefetch=True but the native extension is unavailable"
                 )
         for path in self.files:
-            yield load_kitti_bin(path, self.max_points)
+            yield load_kitti_bin(path, self.max_points, strict=self.strict)
 
     def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray | None]]:
         for i, scan in enumerate(self._iter_scans()):
+            if self.strict and not np.isfinite(scan).all():
+                raise ValueError(
+                    f"{self.files[i]}: non-finite coordinates in strict mode"
+                )
             T = None if self.poses is None else self.poses[i]
             yield self._canonicalize(scan), T
 

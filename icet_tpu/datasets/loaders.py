@@ -21,16 +21,27 @@ import numpy as np
 DEFAULT_MAX_POINTS = 131072
 
 
-def pad_cloud(points: np.ndarray, max_points: int = DEFAULT_MAX_POINTS) -> np.ndarray:
+def pad_cloud(
+    points: np.ndarray,
+    max_points: int = DEFAULT_MAX_POINTS,
+    strict: bool = False,
+) -> np.ndarray:
     """Pad/truncate an (N, 3) cloud to the static (max_points, 3) shape.
 
     Zero rows are dropped points (r < min_range gate).  Truncation keeps a
     uniform stride subsample rather than the head, so a too-large cloud stays
-    spatially representative.
+    spatially representative.  ``strict`` turns the silent subsample into an
+    error (real-data runs should raise ``max_points`` instead of quietly
+    dropping returns).
     """
     points = np.asarray(points, np.float32).reshape(-1, 3)
     n = points.shape[0]
     if n > max_points:
+        if strict:
+            raise ValueError(
+                f"cloud has {n} points > max_points={max_points}; strict "
+                "mode refuses the silent stride subsample — raise max_points"
+            )
         idx = np.linspace(0, n - 1, max_points).astype(np.int64)
         return np.ascontiguousarray(points[idx])
     out = np.zeros((max_points, 3), np.float32)
@@ -95,10 +106,30 @@ def load_npy(path: str, max_points: int = DEFAULT_MAX_POINTS) -> np.ndarray:
     return pad_cloud(np.load(path), max_points)
 
 
-def load_kitti_bin(path: str, max_points: int = DEFAULT_MAX_POINTS) -> np.ndarray:
-    """KITTI velodyne .bin: float32 (x, y, z, reflectance) records."""
-    raw = np.fromfile(path, dtype=np.float32).reshape(-1, 4)
-    return pad_cloud(raw[:, :3], max_points)
+def load_kitti_bin(
+    path: str,
+    max_points: int = DEFAULT_MAX_POINTS,
+    strict: bool = False,
+) -> np.ndarray:
+    """KITTI velodyne .bin: float32 (x, y, z, reflectance) records
+    (reference replays the same files, fake_lidar.py:101-114).
+
+    ``strict`` fails fast on format surprises a real-data run must not
+    paper over: a byte size that is not a whole number of 16-byte records
+    (truncated download / wrong file), non-finite coordinates, or a scan
+    larger than ``max_points`` (see :func:`pad_cloud`).
+    """
+    raw = np.fromfile(path, dtype=np.float32)
+    if raw.size % 4:
+        raise ValueError(
+            f"{path}: {raw.size * 4} bytes is not a whole number of "
+            "16-byte (x, y, z, reflectance) records — truncated or not a "
+            "KITTI velodyne .bin"
+        )
+    xyz = raw.reshape(-1, 4)[:, :3]
+    if strict and not np.isfinite(xyz).all():
+        raise ValueError(f"{path}: non-finite coordinates in strict mode")
+    return pad_cloud(xyz, max_points, strict=strict)
 
 
 def load_csv(

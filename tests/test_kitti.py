@@ -73,6 +73,74 @@ class TestKittiIO:
         assert T is None
 
 
+class TestStrictReal:
+    """--strict-real fails fast on format surprises instead of silently
+    padding (VERDICT r4 #10); default mode keeps the lenient behavior."""
+
+    def _seq(self, rng, tmp_path, n=3, pts=40):
+        scans = [
+            rng.normal(0, 10, (pts, 3)).astype(np.float32) for _ in range(n)
+        ]
+        return write_kitti_sequence(
+            str(tmp_path / "seq"), scans, [np.eye(4)] * n
+        )
+
+    def test_clean_sequence_passes(self, rng, tmp_path):
+        d = self._seq(rng, tmp_path)
+        src = KittiOdometrySource(
+            d, poses_file=str(tmp_path / "seq" / "poses.txt"),
+            max_points=64, beam_major=False, strict=True,
+        )
+        assert sum(1 for _ in src) == 3
+
+    def test_truncated_bin_rejected(self, rng, tmp_path):
+        d = self._seq(rng, tmp_path)
+        path = str(tmp_path / "seq" / "velodyne" / "000001.bin")
+        raw = open(path, "rb").read()
+        open(path, "wb").write(raw[:-7])  # not a whole 16-byte record
+        with pytest.raises(ValueError, match="16-byte"):
+            KittiOdometrySource(d, max_points=64, beam_major=False,
+                                strict=True)
+        # default mode also cannot parse a torn record — the loader itself
+        # raises at read time (reshape), strict just moves it to construction
+        src = KittiOdometrySource(d, max_points=64, beam_major=False,
+                                  prefetch=False)
+        with pytest.raises(ValueError):
+            list(src)
+
+    def test_oversize_scan_rejected_only_in_strict(self, rng, tmp_path):
+        d = self._seq(rng, tmp_path, pts=100)
+        with pytest.raises(ValueError, match="max_points"):
+            KittiOdometrySource(d, max_points=64, beam_major=False,
+                                strict=True)
+        src = KittiOdometrySource(d, max_points=64, beam_major=False)
+        scan, _ = next(iter(src))  # lenient: stride subsample
+        assert scan.shape == (64, 3)
+
+    def test_nonfinite_rejected_only_in_strict(self, rng, tmp_path):
+        scans = [rng.normal(0, 10, (40, 3)).astype(np.float32)
+                 for _ in range(2)]
+        scans[1][7, 1] = np.nan
+        d = write_kitti_sequence(str(tmp_path / "seq"), scans,
+                                 [np.eye(4)] * 2)
+        src = KittiOdometrySource(d, max_points=64, beam_major=False,
+                                  strict=True)
+        with pytest.raises(ValueError, match="non-finite"):
+            list(src)
+        lenient = KittiOdometrySource(d, max_points=64, beam_major=False)
+        assert sum(1 for _ in lenient) == 2
+
+    def test_short_poses_rejected_only_in_strict(self, rng, tmp_path):
+        d = self._seq(rng, tmp_path, n=3)
+        poses = str(tmp_path / "seq" / "poses.txt")
+        save_poses(poses, [np.eye(4)] * 2)  # one short
+        with pytest.raises(ValueError, match="poses"):
+            KittiOdometrySource(d, poses_file=poses, max_points=64,
+                                beam_major=False, strict=True)
+        KittiOdometrySource(d, poses_file=poses, max_points=64,
+                            beam_major=False)
+
+
 @pytest.mark.integration
 class TestEvalHarness:
     def test_city_fixture_end_to_end(self, tmp_path):
