@@ -112,6 +112,32 @@ class ICETConfig:
     condition_cutoff: float = 1e6
     #: relative eigenvalue floor used in pseudo-inverses
     pinv_rcond: float = 1e-7
+    #: clip-fill suppression guard (0 disables; capability BEYOND the
+    #: reference).  The endpoint test compares the +-s*sigma excursion
+    #: against the voxel's actual bounds, which the points fill by
+    #: construction — at grazing incidence an along-surface axis is
+    #: near-RADIAL, its run bounds are exactly the surface's own extent,
+    #: and the false grid-clipped constraint survives (measured: a
+    #: corridor scene solves the unobservable along-track axis to "0 +- 4
+    #: mm" while truly off by the full motion; see
+    #: tests/test_montecarlo.py corridor cases).  With clip_fill = f > 0,
+    #: axis k of a voxel is ALSO pruned when ``sigma_scale * sqrt(lam_k)``
+    #: exceeds ``f/2 x`` the cell's extent along that axis (L1 box bound in
+    #: the local spherical frame) — i.e. when the distribution is clipped
+    #: by the cell rather than ending inside it, regardless of bounds
+    #: slack.  0.7 is the validated setting (uniform fill scores ~1.15,
+    #: 3D-compact features < 0.4).
+    clip_fill: float = 0.0
+    #: 1-sigma per-scan COMMON-MODE range error in metres (0 disables;
+    #: capability beyond the reference).  Per-revolution calibration
+    #: jitter shifts every return radially by the same delta; the solve
+    #: absorbs it as pose error that residual statistics cannot see (the
+    #: Monte-Carlo suite measures 6-12x pred_stds understatement at 2 cm
+    #: jitter).  When set, register() computes the pose sensitivity
+    #: v = dX/d(delta) from the final normal equations and reports
+    #: ``Q += 2 * range_sigma^2 * v v^T`` (both scans jitter
+    #: independently), restoring consistency for pose-graph weighting.
+    range_sigma: float = 0.0
 
     # ---- moving-object rejection (reference ICET_spherical.py:175-285) ------
     remove_moving: bool = False

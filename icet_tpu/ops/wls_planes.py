@@ -214,7 +214,8 @@ def _sym_planes(cov):
 
 
 def assemble_normal_equations(
-    basis, lmask, cov1, count1, cov2, count2, mean1, mean2, dR, cm, rcond
+    basis, lmask, cov1, count1, cov2, count2, mean1, mean2, dR, cm, rcond,
+    extra_dz=None,
 ):
     """Plane-form WLS assembly.
 
@@ -229,8 +230,13 @@ def assemble_normal_equations(
       dR: (3, 3, 3) rotation derivative scalars (dR[..., k] = dR/da_k).
       cm: (V,) f32 correspondence mask.
       rcond: pinv eigenvalue floor.
+      extra_dz: optional second residual field (3-plane list or (V, 3)) run
+        through the identical H^T W pipeline — used for sensitivity right-
+        hand sides, e.g. d(mu2)/d(common range delta) = r_hat(mu2) for the
+        range-calibration covariance term (ICETConfig.range_sigma).
 
-    Returns (HTWH (6, 6), HTWdz (6,), res_compact (V, 3)).
+    Returns (HTWH (6, 6), HTWdz (6,), res_compact (V, 3)) — plus
+    HTW@extra_dz (6,) appended when ``extra_dz`` is given.
     """
     # Extract planes.
     B = _mat_planes(basis)
@@ -280,4 +286,13 @@ def assemble_normal_equations(
          for c in range(6)]
     )
     res_compact = jnp.stack(res_c, axis=-1)
-    return HTWH, HTWdz, res_compact
+    if extra_dz is None:
+        return HTWH, HTWdz, res_compact
+    G = _vec3_planes(extra_dz)
+    g_c = [sum(P[i][j] * G[j] for j in range(3)) for i in range(3)]
+    Wg = [sum(W[i][j] * g_c[j] for j in range(3)) for i in range(3)]
+    HTWg = jnp.stack(
+        [jnp.sum(cm * sum(Hz[i][c] * Wg[i] for i in range(3)))
+         for c in range(6)]
+    )
+    return HTWH, HTWdz, res_compact, HTWg

@@ -37,6 +37,7 @@ Semantics notes (documented deviations from the reference):
 from __future__ import annotations
 
 import functools
+import math
 from typing import NamedTuple
 
 import jax
@@ -133,6 +134,58 @@ def _sigma_axis_mask(model_mean, eigvals, basis, bounds, valid, cfg: ICETConfig)
         & (rtp[..., 0] <= b[..., 1])
     )
     keep = inside[0] | inside[1]  # (V+1, 3) either endpoint inside
+    return jnp.where(valid[:, None], keep.astype(model_mean.dtype), 0.0)
+
+
+def _clip_fill_mask(model_mean, eigvals, basis, bounds, valid, cfg: ICETConfig):
+    """Clip-fill suppression guard (capability beyond the reference; see
+    ``ICETConfig.clip_fill``).
+
+    Axis k is pruned when the points' ``+-sigma_scale * sqrt(lam_k)``
+    excursion spans more than ``clip_fill x`` the voxel cell's extent along
+    that axis — i.e. the distribution is CLIPPED by the cell (a grid
+    artifact whose mean pins the solution to the grid) rather than ending
+    naturally inside it.  Unlike the endpoint test this is measured against
+    the ideal centered cell (L1 box bound in the local spherical frame at
+    the mean), so it cannot be defeated by wide radial run bounds or by
+    eigenvectors obliquely crossing the frustum: a uniform cell-filling
+    distribution scores ``2 * s / (f * sqrt(12)) ~ 1.15/f`` and is pruned at
+    any ``f < 1.15``, while a 3D-compact feature scores well under 0.4.
+
+    The failure mode this closes (measured, tests/test_montecarlo.py): at
+    grazing incidence the along-surface axis is near-radial and its cluster
+    bounds ARE the surface's own extent, so both endpoint variants keep it;
+    a corridor scene then solves the unobservable along-track axis to
+    "0 +- 4 mm" while truly off by the full motion.
+    """
+    r = jnp.linalg.norm(model_mean, axis=-1)
+    safe_r = jnp.maximum(r, 1e-6)
+    rhat = model_mean / safe_r[:, None]
+    sin_phi = jnp.sqrt(
+        jnp.maximum(model_mean[:, 0] ** 2 + model_mean[:, 1] ** 2, 1e-12)
+    ) / safe_r
+    # Local spherical frame at the mean: r_hat, theta_hat (azimuth),
+    # phi_hat (polar) — cart_to_spherical's (r, theta, phi) convention.
+    cos_th = model_mean[:, 0] / jnp.maximum(sin_phi * safe_r, 1e-9)
+    sin_th = model_mean[:, 1] / jnp.maximum(sin_phi * safe_r, 1e-9)
+    that = jnp.stack([-sin_th, cos_th, jnp.zeros_like(sin_th)], axis=-1)
+    phat = jnp.cross(that, rhat)  # unit: both unit + orthogonal
+
+    d_theta = 2.0 * math.pi / cfg.n_theta
+    d_phi = (cfg.phi_max - cfg.phi_min) / cfg.n_phi
+    w_r = bounds[:, 1] - bounds[:, 0]
+    w_t = r * sin_phi * d_theta
+    w_p = r * d_phi
+
+    # extent[v, k] = cell extent along eigen axis k (L1 box bound).
+    proj = lambda n: jnp.abs(jnp.einsum("vi,vik->vk", n, basis))
+    extent = (
+        proj(rhat) * w_r[:, None]
+        + proj(that) * w_t[:, None]
+        + proj(phat) * w_p[:, None]
+    )
+    span = cfg.sigma_scale * jnp.sqrt(jnp.maximum(eigvals, 0.0))
+    keep = span <= 0.5 * cfg.clip_fill * extent
     return jnp.where(valid[:, None], keep.astype(model_mean.dtype), 0.0)
 
 
@@ -283,6 +336,10 @@ def prepare_reference(
         lmask = _ndt_axis_mask(eigvals, basis, clusters.bounds, valid, cfg)
     else:
         lmask = _sigma_axis_mask(
+            moments.mean, eigvals, basis, clusters.bounds, valid, cfg
+        )
+    if cfg.clip_fill > 0.0:
+        lmask = lmask * _clip_fill_mask(
             moments.mean, eigvals, basis, clusters.bounds, valid, cfg
         )
 
@@ -450,6 +507,7 @@ def _iteration(
     corr_mask: jax.Array | None = None,
     U2_warm: jax.Array | None = None,
     packed: jax.Array | None = None,
+    want_range_sens: bool = False,
 ):
     method = _moment_method(cfg)
     if method == "fused":
@@ -531,10 +589,27 @@ def _iteration(
     from icet_tpu.ops.geometry import rotation_jacobian
 
     dR = rotation_jacobian(X[3:6])
-    HTWH, HTWdz, _ = assemble_normal_equations(
-        basis1, lmask1, cov1, count1, cov2, count2,
-        mean1, mean2, dR, cm, cfg.pinv_rcond,
-    )
+    if want_range_sens:
+        # Sensitivity RHS for the range-calibration covariance term
+        # (ICETConfig.range_sigma): a common-mode range offset delta moves
+        # every scan-2 point by delta * r_hat in the SENSOR frame, i.e.
+        # the transformed voxel means by delta * (mu2 - t)/|mu2 - t|.
+        from icet_tpu.ops.wls_planes import _vec3_planes
+
+        M2p = _vec3_planes(mean2)
+        d3 = [M2p[j] - X[j] for j in range(3)]
+        gn = jnp.sqrt(jnp.maximum(d3[0] ** 2 + d3[1] ** 2 + d3[2] ** 2, 1e-12))
+        HTWH, HTWdz, _, htwg = assemble_normal_equations(
+            basis1, lmask1, cov1, count1, cov2, count2,
+            mean1, mean2, dR, cm, cfg.pinv_rcond,
+            extra_dz=[dj / gn for dj in d3],
+        )
+    else:
+        HTWH, HTWdz, _ = assemble_normal_equations(
+            basis1, lmask1, cov1, count1, cov2, count2,
+            mean1, mean2, dR, cm, cfg.pinv_rcond,
+        )
+        htwg = None
 
     # Global condition pruning (reference checkCondition, icet.cpp:443-492 /
     # ICET_spherical.py:774-824).  With L2 a row-selector of the eigenbasis,
@@ -568,6 +643,8 @@ def _iteration(
         n_rejected_moving=n_rejected,
         windowed_overflow=win_ovf,
     )
+    if want_range_sens:
+        return X_new, w6, keep, corr, U2, diag, htwg
     return X_new, w6, keep, corr, U2, diag
 
 
@@ -603,15 +680,27 @@ def _diag_unpack(rows: jax.Array) -> IterationDiag:
     )
 
 
-def _predicted_covariance(w6, U2, keep, cfg: ICETConfig):
+def _predicted_covariance(w6, U2, keep, cfg: ICETConfig, htwg=None):
     """Predicted solution error covariance + per-component stds from the
     FINAL iteration's eigensystem (reference icet.cpp:410-417,
     ICET_spherical.py:462-463) — hoisted out of the GN loop; only the last
-    iteration's values are ever consumed."""
+    iteration's values are ever consumed.
+
+    ``htwg`` (when ``cfg.range_sigma > 0``): the H^T W r_hat sensitivity
+    right-hand side from the final normal equations.  The converged pose's
+    response to a common-mode range offset delta is
+    ``v = pinv_kept(HTWH) htwg`` (same truncated inverse as the GN step),
+    and two independently jittering scans add ``2 sigma_r^2 v v^T`` to the
+    solution covariance — error mass residual statistics cannot see
+    (Monte-Carlo-validated, tests/test_montecarlo.py)."""
     wmax = jnp.max(jnp.abs(w6))
     invertible = jnp.abs(w6) > cfg.pinv_rcond * wmax
     inv_all = jnp.where(invertible, 1.0 / jnp.where(invertible, w6, 1.0), 0.0)
     Q = _mm(U2 * inv_all[None, :], U2.T)
+    if htwg is not None:
+        inv_kept = jnp.where(keep, inv_all, 0.0)
+        v = _mm(U2, inv_kept * _mm(U2.T, htwg))
+        Q = Q + (2.0 * cfg.range_sigma**2) * jnp.outer(v, v)
     pred_stds = jnp.sqrt(jnp.abs(jnp.diag(Q)))
     # Inflate components of globally pruned axes (reference icet.cpp:469-486).
     dropped = (~keep).astype(pred_stds.dtype)
@@ -750,7 +839,6 @@ def register(
         )
         fill = jnp.minimum(jnp.arange(n_it), it_end - 1)
         diags = _diag_unpack(diags[fill])
-        pred_stds, Q = _predicted_covariance(w6, _U2, keep, cfg)
     elif cfg.n_iters > 1:
         (X, w6, keep, corr, _U2), diags_rest = jax.lax.scan(
             body, init, jnp.arange(1, cfg.n_iters)
@@ -758,11 +846,25 @@ def register(
         diags = jax.tree_util.tree_map(
             lambda a, b: jnp.concatenate([a[None], b], axis=0), diag0, diags_rest
         )
-        pred_stds, Q = _predicted_covariance(w6, _U2, keep, cfg)
     else:
         X, corr = X1, corr0
+        w6, keep, _U2 = w0, keep0, U2_0
         diags = jax.tree_util.tree_map(lambda a: a[None], diag0)
-        pred_stds, Q = _predicted_covariance(w0, U2_0, keep0, cfg)
+
+    if cfg.range_sigma > 0.0:
+        # One extra assembly pass at the CONVERGED X to extract the range-
+        # calibration sensitivity (H^T W r_hat) alongside a fresh final
+        # eigensystem — ~1 GN iteration of extra work, paid only when the
+        # calibration-aware covariance is enabled.  The RM schedule sees the
+        # final iteration's index so the correspondence set matches the
+        # solve's last iteration.
+        _, w6, keep, _corr_s, _U2, _d, htwg = _iteration(
+            model, scan2, X, it_offset + cfg.n_iters - 1, cfg, axis_name,
+            corr_mask, _U2, packed, want_range_sens=True,
+        )
+        pred_stds, Q = _predicted_covariance(w6, _U2, keep, cfg, htwg)
+    else:
+        pred_stds, Q = _predicted_covariance(w6, _U2, keep, cfg)
 
     if want_static_mask:
         # Scan-2 points inside used (non-moving) voxels at the final estimate
