@@ -194,6 +194,7 @@ def main(headline_only: bool = False) -> None:
         blockmap_init,
         keyframe_spawn_jit,
         keyframe_step_jit,
+        update_health0,
     )
     from icet_tpu.ops.geometry import compose_states
 
@@ -216,16 +217,16 @@ def main(headline_only: bool = False) -> None:
             ks = (jnp.arange(chain) + 1) % nf
 
             def body(carry, k):
-                model, bm, x_rel, delta, world, key, n_corr0 = carry
+                model, bm, x_rel, delta, world, key, health0 = carry
                 scan = frames[k]
                 key, sub, sub2 = jax.random.split(key, 3)
-                res, x_rel2, delta2, _div, spawn, n_corr, bm2 = (
+                res, x_rel2, delta2, _div, spawn, health, bm2 = (
                     keyframe_step_jit(
-                        model, bm, scan, x_rel, delta, sub, n_corr0,
+                        model, bm, scan, x_rel, delta, sub, health0,
                         cfg, kf_cfg, bm_cfg,
                     )
                 )
-                n_corr0 = jnp.where(n_corr0 == 0, n_corr, n_corr0)
+                health0 = update_health0(health0, health)
                 world2 = compose_states(world, x_rel2)
 
                 def do_spawn(_):
@@ -235,21 +236,21 @@ def main(headline_only: bool = False) -> None:
                     )
                     return (
                         m2, bm3, jnp.zeros(6, jnp.float32),
-                        jnp.zeros((), jnp.int32), world2,
+                        jnp.zeros(2, jnp.float32), world2,
                     )
 
                 def keep(_):
-                    return model, bm2, x_rel2, n_corr0, world
+                    return model, bm2, x_rel2, health0, world
 
-                model, bm, x_rel, n_corr0, world = jax.lax.cond(
+                model, bm, x_rel, health0, world = jax.lax.cond(
                     spawn, do_spawn, keep, None
                 )
-                return (model, bm, x_rel, delta2, world, key, n_corr0), None
+                return (model, bm, x_rel, delta2, world, key, health0), None
 
             carry0 = (
                 model0, bm0, jnp.zeros(6, jnp.float32),
                 jnp.zeros(6, jnp.float32), jnp.zeros(6, jnp.float32),
-                jax.random.PRNGKey(0), jnp.zeros((), jnp.int32),
+                jax.random.PRNGKey(0), jnp.zeros(2, jnp.float32),
             )
             (model, bm, x_rel, delta, world, _, _), _ = jax.lax.scan(
                 body, carry0, ks

@@ -27,10 +27,24 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=550)
+    ap.add_argument("--seed", type=int, default=0,
+                    help="drive fixture seed (scene layout + corruption "
+                         "streams)")
     ap.add_argument("--speed", type=float, default=1.0)
     ap.add_argument("--beams", type=int, default=64)
     ap.add_argument("--azimuth", type=int, default=1024)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--spawn", default="auto", choices=["auto", "fixed"],
+                    help="keyframe spawn policy (KeyframeConfig.spawn): "
+                         "'auto' (default) = the distance prior PLUS "
+                         "health safety triggers; 'fixed' = distance/angle"
+                         "/corr-drop only")
+    ap.add_argument("--spawn-distance", type=float, default=None,
+                    help="spawn distance prior (both policies; default "
+                         "1.5 dynamic / 3.0 benign)")
+    ap.add_argument("--stds-growth", type=float, default=None,
+                    help="auto-spawn predicted-error growth trigger "
+                         "(KeyframeConfig.stds_growth default when unset)")
     ap.add_argument("--keyframe", action="store_true",
                     help="use scan-to-keyframe odometry (KeyframeOdometry) "
                          "instead of frame-to-frame")
@@ -100,7 +114,7 @@ def main():
     dyn = dict(moving_cars=3, dropout_frac=0.12, range_bias_std=0.02)
     src = CityDriveSource(
         n_frames=args.frames, speed=args.speed,
-        n_beams=args.beams, n_azimuth=args.azimuth,
+        n_beams=args.beams, n_azimuth=args.azimuth, seed=args.seed,
         **(dyn if args.dynamic else {}),
     )
     print(f"city drive: {args.frames} frames x {args.beams}x{args.azimuth} "
@@ -111,19 +125,30 @@ def main():
         from icet_tpu.config import KeyframeConfig
         from icet_tpu.keyframe import KeyframeOdometry
 
+        # On corrupted scans the FIXED spawn distance dominates keyframe-
+        # mode ATE and its optimum is scale/resolution dependent: at the
+        # flagship scale (399 frames, 64x1024, 75x24 grid) spawn
+        # 1.5/3.0/6.0 m give odometry ATE 37/80/107 cm (refined 19/61/95),
+        # while the small 150-frame 48x512 sweep ordered the other way
+        # (88/116/47 cm).  The "auto" policy (default) replaces the
+        # hand-picked constant with the solver's own health signals
+        # (KeyframeConfig.spawn) and a loose distance backstop.
+        # Both policies keep the regime's distance prior: "auto" adds the
+        # health safety triggers ON TOP of it (replacing the prior with
+        # loose-backstop health thresholds measured non-robust — RESULTS
+        # spawn-policy table).
+        if args.spawn_distance is not None:
+            dist = args.spawn_distance
+        else:
+            dist = 1.5 if args.dynamic else 3.0
+        kf_kw = {}
+        if args.stds_growth is not None:
+            kf_kw["stds_growth"] = args.stds_growth
         pipe = KeyframeOdometry(
             cfg,
-            # On corrupted scans the spawn distance dominates keyframe-mode
-            # ATE and its optimum is scale/resolution dependent: at the
-            # flagship scale (399 frames, 64x1024, 75x24 grid) spawn
-            # 1.5/3.0/6.0 m give odometry ATE 37/80/107 cm (refined
-            # 19/61/95), while the small 150-frame 48x512 sweep ordered the
-            # other way (88/116/47 cm).  Short baselines win where the
-            # per-solve error is small relative to the per-keyframe
-            # systematic offset the corruptions induce.
-            KeyframeConfig(spawn_distance=1.5 if args.dynamic else 3.0,
+            KeyframeConfig(spawn=args.spawn, spawn_distance=dist,
                            spawn_angle=0.3,
-                           delta_clamp=odo_cfg.divergence_clamp),
+                           delta_clamp=odo_cfg.divergence_clamp, **kf_kw),
         )
     else:
         pipe = OdometryPipeline(cfg, odo_cfg)

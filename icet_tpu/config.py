@@ -248,6 +248,25 @@ class KeyframeConfig:
     window and (b) amortizes the prepare stage over the keyframe lifetime.
     """
 
+    #: spawn policy.  "auto" (default): spawn on observable solve health —
+    #: predicted-error growth versus the keyframe's first solve
+    #: (``stds_growth``), correspondence-count drop
+    #: (``min_corr_fraction``), windowed-moments overflow approaching the
+    #: spill capacity (``ovf_spawn``; predicts the 2x fallback path), or
+    #: divergence — with ``spawn_distance``/``spawn_angle`` as loose
+    #: backstops.  "fixed": distance/angle/corr-drop/divergence only (the
+    #: hand-tuned pre-round-5 policy; its optimum flips with scene scale —
+    #: RESULTS.md).
+    spawn: str = "auto"
+    #: ("auto") spawn when sqrt(sum(pred_stds^2)) of the keyframe-relative
+    #: solve exceeds this multiple of the value right after the keyframe
+    #: was spawned — conditioning degradation measured by the solver
+    #: itself, scale-free where the distance trigger is not
+    stds_growth: float = 2.5
+    #: ("auto") spawn when the final iteration's windowed-moments overflow
+    #: exceeds this many points (spill capacity is 8192; crossing it
+    #: silently demotes every iteration to the 2x segsum fallback)
+    ovf_spawn: int = 4096
     #: spawn a new keyframe when the translation from the current one
     #: exceeds this (metres)
     spawn_distance: float = 2.0

@@ -260,6 +260,16 @@ def shard_blockmap(bm: BlockMap, mesh, axis: str = "dp") -> BlockMap:
 # ---------------------------------------------------------------------------
 
 
+def update_health0(health0: jax.Array, health: jax.Array) -> jax.Array:
+    """Fold one frame's solve ``health = [n_corr, rms]`` into the carried
+    keyframe baseline ``health0`` (all-zero right after a spawn): both
+    components latch from the keyframe's FIRST solve.  (A running-minimum
+    rms baseline was tried and measured WORSE on both eval scales — it
+    tightens the stds-growth denominator over time, over-eager spawning;
+    RESULTS.md spawn-policy table.)"""
+    return jnp.where(health0 == 0.0, health, health0)
+
+
 def _keyframe_step_impl(
     model: VoxelModel,
     bm: BlockMap,
@@ -267,7 +277,7 @@ def _keyframe_step_impl(
     x_prev_rel: jax.Array,
     delta_prev: jax.Array,
     key: jax.Array,
-    n_corr0: jax.Array,
+    health0: jax.Array,
     cfg: ICETConfig,
     kf_cfg: KeyframeConfig,
     bm_cfg: BlockMapConfig,
@@ -282,10 +292,16 @@ def _keyframe_step_impl(
     the DELTA (falling back to the prediction), folds the scan into the
     active map block, and decides whether a new keyframe must be spawned.
 
+    ``health0`` is the (2,) f32 ``[n_corr, rms pred_std]`` of the FIRST
+    solve against the current keyframe (all-zero right after a spawn —
+    the caller latches it from the returned ``health``); the spawn policy
+    compares the current solve's health against it (KeyframeConfig.spawn).
+
     ``solve_fn(model, scan0)`` overrides the residual-frame registration
     (the DNN step substitutes the filtered solve).
 
-    Returns ``(res, X_rel, delta, diverged, spawn, n_corr, new_bm)``.
+    Returns ``(res, X_rel, delta, diverged, spawn, health, new_bm)`` with
+    ``health = [n_corr, rms]`` of this solve.
     """
     x0 = compose_states(x_prev_rel, delta_prev)
     # Solve in the PREDICTION frame: pre-transform the scan by the constant
@@ -311,6 +327,10 @@ def _keyframe_step_impl(
         )
     else:
         res = solve_fn(model, scan0)
+    # Solve health BEFORE covariance composition: rms of the raw
+    # keyframe-relative pred_stds (includes the dropped-axis inflation, so
+    # a degenerating geometry shows up as a jump — exactly when to spawn).
+    rms = jnp.sqrt(jnp.sum(res.pred_stds**2))
     X_total = compose_states(res.X, x0)
     # Exact covariance propagation to the composed state.
     J = jax.jacfwd(lambda d: compose_states(d, x0))(res.X)
@@ -327,20 +347,32 @@ def _keyframe_step_impl(
     delta = jnp.where(diverged, delta_prev, delta)
 
     n_corr = res.diagnostics.n_corr[-1]
+    health = jnp.stack([n_corr.astype(jnp.float32), rms])
+    n_corr0, rms0 = health0[0], health0[1]
     spawn = (
         (jnp.linalg.norm(X[:3]) > kf_cfg.spawn_distance)
         | (jnp.max(jnp.abs(X[3:6])) > kf_cfg.spawn_angle)
-        | (n_corr.astype(jnp.float32)
-           < kf_cfg.min_corr_fraction * n_corr0.astype(jnp.float32))
+        | (n_corr.astype(jnp.float32) < kf_cfg.min_corr_fraction * n_corr0)
         | diverged
     )
+    if kf_cfg.spawn == "auto":
+        # Health triggers (fire only EARLIER than the distance/angle
+        # backstops): predicted-error growth vs the BEST solve this
+        # keyframe has seen (a running minimum — the first-frame latch was
+        # measured too noisy a denominator: ratio of two noisy values
+        # triggers erratically), and windowed overflow approaching the
+        # spill capacity (past it every GN iteration pays the 2x segsum
+        # fallback).
+        ovf = res.diagnostics.windowed_overflow[-1]
+        spawn = spawn | ((rms0 > 0.0) & (rms > kf_cfg.stds_growth * rms0))
+        spawn = spawn | (ovf > kf_cfg.ovf_spawn)
     # Spawn frames skip this insert — keyframe_spawn_jit seeds the NEW block
     # with the same scan, and inserting here too would duplicate its points
     # in the old block (double-weighted geometry, wasted capacity).
     new_bm = _blockmap_insert(
         bm, scan, X, key, bm_cfg, cfg.min_range, enabled=~spawn
     )
-    return res, X, delta, diverged, spawn, n_corr, new_bm
+    return res, X, delta, diverged, spawn, health, new_bm
 
 
 @functools.partial(jax.jit, static_argnums=(7, 8, 9), donate_argnums=(1,))
@@ -351,15 +383,17 @@ def keyframe_step_jit(
     x_prev_rel: jax.Array,
     delta_prev: jax.Array,
     key: jax.Array,
-    n_corr0: jax.Array,
+    health0: jax.Array,
     cfg: ICETConfig,
     kf_cfg: KeyframeConfig,
     bm_cfg: BlockMapConfig,
 ):
     """One keyframe-odometry frame in ONE device dispatch (see
-    :func:`_keyframe_step_impl`)."""
+    :func:`_keyframe_step_impl`; ``health0`` is the latched (2,) f32
+    ``[n_corr, rms]`` of the keyframe's first solve, zeros right after a
+    spawn)."""
     return _keyframe_step_impl(
-        model, bm, scan, x_prev_rel, delta_prev, key, n_corr0,
+        model, bm, scan, x_prev_rel, delta_prev, key, health0,
         cfg, kf_cfg, bm_cfg,
     )
 
@@ -374,7 +408,7 @@ def keyframe_step_dnn_jit(
     x_prev_rel: jax.Array,
     delta_prev: jax.Array,
     key: jax.Array,
-    n_corr0: jax.Array,
+    health0: jax.Array,
     cfg: ICETConfig,
     kf_cfg: KeyframeConfig,
     bm_cfg: BlockMapConfig,
@@ -398,7 +432,7 @@ def keyframe_step_dnn_jit(
         return res
 
     return _keyframe_step_impl(
-        model, bm, scan, x_prev_rel, delta_prev, key, n_corr0,
+        model, bm, scan, x_prev_rel, delta_prev, key, health0,
         cfg, kf_cfg, bm_cfg, solve_fn=solve_fn,
     )
 
@@ -452,7 +486,7 @@ def keyframe_sequence_jit(
     """Whole keyframe-odometry SUB-SEQUENCE as one device program.
 
     Device twin of :class:`KeyframeOdometry`'s per-frame host loop (same
-    step, delta-stds bookkeeping, n_corr0 latch, spawn handling — the
+    step, delta-stds bookkeeping, health0 latch, spawn handling — the
     spawn's prepare runs inside a ``lax.cond`` branch), amortising the
     per-dispatch host-link latency over ``frames.shape[0]`` frames, the
     same motivation as :func:`icet_tpu.odometry.odometry_sequence_jit`.
@@ -461,18 +495,19 @@ def keyframe_sequence_jit(
     downsample draws from a different key sequence, which never feeds back
     into the solve).
 
-    ``carry0 = (x_rel, delta, world_key6, key, n_corr0, prev_stds)``;
-    returns ``(model, bm, carry), outs`` with per-frame outs
+    ``carry0 = (x_rel, delta, world_key6, key, health0, prev_stds)``
+    (``health0``: (2,) f32, see :func:`keyframe_step_jit`); returns
+    ``(model, bm, carry), outs`` with per-frame outs
     ``(delta, delta_stds, world6, diverged, x_rel, is_keyframe, n_corr)``.
     """
 
     def body(carry, scan):
-        model, bm, x_rel, delta, world_key, key, n0, prev_stds = carry
+        model, bm, x_rel, delta, world_key, key, h0, prev_stds = carry
         key, sub, sub2 = jax.random.split(key, 3)
-        res, x2, d2, div, spawn, n_corr, bm2 = _keyframe_step_impl(
-            model, bm, scan, x_rel, delta, sub, n0, cfg, kf_cfg, bm_cfg
+        res, x2, d2, div, spawn, health, bm2 = _keyframe_step_impl(
+            model, bm, scan, x_rel, delta, sub, h0, cfg, kf_cfg, bm_cfg
         )
-        n0 = jnp.where(n0 == 0, n_corr, n0)
+        h0 = update_health0(h0, health)
         world2 = compose_states(world_key, x2)
         # Reported stds describe the frame-to-frame DELTA: conservative
         # independent-sum bound (see KeyframeOdometry._step_device).
@@ -483,17 +518,18 @@ def keyframe_sequence_jit(
                 bm2, scan, world2, sub2, jnp.asarray(True), cfg, bm_cfg
             )
             return (m2, bm3, jnp.zeros(6, jnp.float32),
-                    jnp.zeros((), jnp.int32), world2,
+                    jnp.zeros(2, jnp.float32), world2,
                     jnp.zeros(6, jnp.float32))
 
         def keep(_):
-            return model, bm2, x2, n0, world_key, res.pred_stds
+            return model, bm2, x2, h0, world_key, res.pred_stds
 
-        model, bm, x_rel, n0, world_key, prev_stds = jax.lax.cond(
+        model, bm, x_rel, h0, world_key, prev_stds = jax.lax.cond(
             spawn, do_spawn, keep, None
         )
-        outs = (d2, delta_stds, world2, div, x2, spawn, n_corr)
-        return (model, bm, x_rel, d2, world_key, key, n0, prev_stds), outs
+        outs = (d2, delta_stds, world2, div, x2, spawn,
+                health[0].astype(jnp.int32))
+        return (model, bm, x_rel, d2, world_key, key, h0, prev_stds), outs
 
     (model, bm, *carry), outs = jax.lax.scan(
         body, (model0, bm0, *carry0), frames
@@ -536,7 +572,7 @@ def run_keyframe_device(
     )
     carry = (
         jnp.zeros(6, jnp.float32), jnp.zeros(6, jnp.float32),
-        jnp.zeros(6, jnp.float32), key, jnp.zeros((), jnp.int32),
+        jnp.zeros(6, jnp.float32), key, jnp.zeros(2, jnp.float32),
         jnp.zeros(6, jnp.float32),
     )
     frames: list[KeyframeFrame] = []
@@ -636,7 +672,7 @@ class KeyframeOdometry:
         self._x_rel = jnp.zeros(6, jnp.float32)
         self._delta = jnp.zeros(6, jnp.float32)
         self._stds_rel = np.zeros(6, np.float32)
-        self._n_corr0: jax.Array | None = None
+        self._health0: jax.Array | None = None
         self._index = 0
         self.keyframe_states: list[np.ndarray] = []
         self.keyframe_indices: list[int] = []
@@ -673,7 +709,7 @@ class KeyframeOdometry:
         # zero too — including for the checkpoint-resume spawn, which does
         # not pass through step()'s keyframe branch.
         self._stds_rel = np.zeros(6, np.float32)
-        self._n_corr0 = None  # set by the first solve against this keyframe
+        self._health0 = None  # set by the first solve against this keyframe
         self.keyframe_states.append(state)
         self.keyframe_indices.append(self._index)
 
@@ -726,14 +762,14 @@ class KeyframeOdometry:
             return None
 
         self._key, sub = jax.random.split(self._key)
-        n_corr0 = (
-            self._n_corr0
-            if self._n_corr0 is not None
-            else jnp.zeros((), jnp.int32)  # fresh keyframe: fraction test off
+        health0 = (
+            self._health0
+            if self._health0 is not None
+            else jnp.zeros(2, jnp.float32)  # fresh keyframe: health tests off
         )
         if self._dnn is not None:
             net, params = self._dnn
-            res, x_rel, delta, diverged, spawn, n_corr, self.blockmap = (
+            res, x_rel, delta, diverged, spawn, health, self.blockmap = (
                 keyframe_step_dnn_jit(
                     self._model,
                     self.blockmap,
@@ -743,7 +779,7 @@ class KeyframeOdometry:
                     self._x_rel,
                     self._delta,
                     sub,
-                    n_corr0,
+                    health0,
                     self.cfg,
                     self.kf_cfg,
                     self.bm_cfg,
@@ -752,7 +788,7 @@ class KeyframeOdometry:
                 )
             )
         else:
-            res, x_rel, delta, diverged, spawn, n_corr, self.blockmap = (
+            res, x_rel, delta, diverged, spawn, health, self.blockmap = (
                 keyframe_step_jit(
                     self._model,
                     self.blockmap,
@@ -760,14 +796,13 @@ class KeyframeOdometry:
                     self._x_rel,
                     self._delta,
                     sub,
-                    n_corr0,
+                    health0,
                     self.cfg,
                     self.kf_cfg,
                     self.bm_cfg,
                 )
             )
-        if self._n_corr0 is None:
-            self._n_corr0 = n_corr
+        self._health0 = update_health0(health0, health)
         X_rel = np.asarray(x_rel)
         T_world = self._T_key @ np_pose_matrix(X_rel)
         self._x_rel = x_rel
@@ -799,7 +834,7 @@ class KeyframeOdometry:
             diverged=bool(diverged),
             X_rel=X_rel,
             is_keyframe=is_kf,
-            n_corr=np.asarray(n_corr),
+            n_corr=np.asarray(health)[0].astype(np.int32),
         )
         self._index += 1
         return frame

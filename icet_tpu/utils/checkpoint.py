@@ -130,7 +130,7 @@ def keyframe_state(ko) -> dict:
         "T_key": np.asarray(ko._T_key),
         "x_rel": np.asarray(ko._x_rel),
         "delta": np.asarray(ko._delta),
-        # _stds_rel and _n_corr0 are NOT persisted: the mandatory
+        # _stds_rel and _health0 are NOT persisted: the mandatory
         # resume-spawn resets both before any solve reads them.
         "index": np.asarray(ko._index),
         "key": np.asarray(ko._key),

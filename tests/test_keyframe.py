@@ -78,6 +78,33 @@ def test_keyframe_odometry_tracks_and_spawns(trajectory):
 
 
 @pytest.mark.slow
+def test_auto_spawn_health_triggers_wired(trajectory):
+    """spawn="auto"'s health triggers are plumbed end to end: an
+    impossible stds-growth threshold (any rms above ~0x the first solve's)
+    forces a spawn on EVERY frame after each keyframe's first, while
+    spawn="fixed" with the same loose distance backstop spawns on none.
+    (Policy-level evaluation is in RESULTS.md's spawn table — on both
+    eval drives the triggers are inert at sane thresholds and the policy
+    equals fixed; this pins the wiring, not the thresholds.)"""
+    loose = dict(spawn_distance=100.0, spawn_angle=3.0, delta_clamp=2.0)
+    bm = BlockMapConfig(n_blocks=4, block_capacity=1024, points_per_scan=128)
+    scans = [s for s, _ in trajectory[:5]]
+
+    hair = KeyframeOdometry(
+        CFG, KeyframeConfig(spawn="auto", stds_growth=1e-6, **loose), bm
+    )
+    frames = hair.run(scans)
+    # Frame 1 latches health0 (no trigger), every later frame trips it.
+    assert [f.is_keyframe for f in frames] == [False, True, False, True]
+
+    fixed = KeyframeOdometry(
+        CFG, KeyframeConfig(spawn="fixed", **loose), bm
+    )
+    frames = fixed.run(scans)
+    assert not any(f.is_keyframe for f in frames)
+
+
+@pytest.mark.slow
 def test_keyframe_delta_guard(trajectory):
     # An impossible clamp forces every frame into the diverged fallback:
     # the prediction is used and the pipeline keeps running.

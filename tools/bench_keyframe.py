@@ -54,6 +54,7 @@ def main():
         blockmap_init,
         keyframe_spawn_jit,
         keyframe_step_jit,
+        update_health0,
     )
     from icet_tpu.ops.geometry import compose_states, transform_points
     from icet_tpu.solver import prepare_reference, register
@@ -161,14 +162,14 @@ def main():
                     model, bm, frames[1], x_rel, delta, sub, n0,
                     cfg, kf_off, bm_cfg,
                 )
-                n0 = jnp.where(n0 == 0, n_corr, n0)
+                n0 = update_health0(n0, n_corr)
                 bm2 = bm2._replace(cursor=jnp.int32(0))
                 return (model, bm2, x2, d2, key, n0), None
 
             carry0 = (
                 model0, bm0, jnp.zeros(6, jnp.float32),
                 jnp.zeros(6, jnp.float32), jax.random.PRNGKey(0),
-                jnp.zeros((), jnp.int32),
+                jnp.zeros(2, jnp.float32),
             )
             (model, bm, x2, d2, _, _), _ = jax.lax.scan(
                 body, carry0, None, length=chain)
@@ -202,7 +203,7 @@ def main():
                     model, bm, scan, x_rel, delta, sub, n0,
                     cfg, kf_cfg, bm_cfg,
                 )
-                n0 = jnp.where(n0 == 0, n_corr, n0)
+                n0 = update_health0(n0, n_corr)
                 world2 = compose_states(world, x2)
 
                 def do_spawn(_):
@@ -210,7 +211,7 @@ def main():
                         bm2, scan, world2, sub2, jnp.asarray(True),
                         cfg, bm_cfg)
                     return (m2, bm3, jnp.zeros(6, jnp.float32),
-                            jnp.zeros((), jnp.int32), world2)
+                            jnp.zeros(2, jnp.float32), world2)
 
                 def keep(_):
                     return model, bm2, x2, n0, world
@@ -222,7 +223,7 @@ def main():
             carry0 = (
                 model0, bm0, jnp.zeros(6, jnp.float32),
                 jnp.zeros(6, jnp.float32), jnp.zeros(6, jnp.float32),
-                jax.random.PRNGKey(0), jnp.zeros((), jnp.int32),
+                jax.random.PRNGKey(0), jnp.zeros(2, jnp.float32),
             )
             (model, bm, x_rel, d2, world, _, _), _ = jax.lax.scan(
                 body, carry0, ks)

@@ -86,6 +86,7 @@ def main() -> int:
             blockmap_init,
             keyframe_spawn_jit,
             keyframe_step_jit,
+            update_health0,
         )
         from icet_tpu.ops.geometry import compose_states
 
@@ -116,7 +117,7 @@ def main() -> int:
                     model, bm, scan, x_rel, delta, sub, n0,
                     hcfg, kf_cfg, bm_cfg,
                 )
-                n0 = jnp.where(n0 == 0, n_corr, n0)
+                n0 = update_health0(n0, n_corr)
                 world2 = compose_states(world, x2)
 
                 def do_spawn(_):
@@ -124,7 +125,7 @@ def main() -> int:
                         bm2, scan, world2, sub2, jnp.asarray(True),
                         hcfg, bm_cfg)
                     return (m2, bm3, jnp.zeros(6, jnp.float32),
-                            jnp.zeros((), jnp.int32), world2)
+                            jnp.zeros(2, jnp.float32), world2)
 
                 def keep(_):
                     return model, bm2, x2, n0, world
@@ -136,7 +137,7 @@ def main() -> int:
             carry0 = (
                 model0, bm0, jnp.zeros(6, jnp.float32),
                 jnp.zeros(6, jnp.float32), jnp.zeros(6, jnp.float32),
-                jax.random.PRNGKey(0), jnp.zeros((), jnp.int32),
+                jax.random.PRNGKey(0), jnp.zeros(2, jnp.float32),
             )
             (model, bm, x_rel, d2, world, _, _), _ = jax.lax.scan(
                 body, carry0, ks)
