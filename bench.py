@@ -405,10 +405,14 @@ def main(headline_only: bool = False) -> None:
 # stack trace, so BENCH_r{N}.json is machine-readable either way.
 
 _PROBE_CODE = (
-    "import jax, jax.numpy as jnp;"
+    # The probe must FETCH a value, not just block_until_ready: the tunnel
+    # has a degradation mode (observed 2026-08-20) where dispatches and
+    # ready-waits succeed but every device-to-host read hangs forever — a
+    # fetch-free probe would pass while the measurement worker hangs.
+    "import jax, jax.numpy as jnp, numpy as np;"
     "x = jnp.ones((8, 8));"
-    "(x @ x).block_until_ready();"
-    "print('PROBE_OK', jax.devices()[0].platform)"
+    "v = float(np.asarray((x @ x).sum()));"
+    "print('PROBE_OK', jax.devices()[0].platform, v)"
 )
 
 

@@ -70,6 +70,12 @@ def main():
                          "~50x less host-link latency on recorded data; "
                          "ignores --chunk checkpoints (it does not need "
                          "them) and has no DNN variant yet")
+    ap.add_argument("--range-sigma", type=float, default=0.0,
+                    help="per-scan common-mode range error in metres "
+                         "(ICETConfig.range_sigma): adds the calibration-"
+                         "aware covariance term so pose-graph weighting "
+                         "sees the error mass residuals cannot — the "
+                         "--dynamic fixture's jitter is 0.02")
     ap.add_argument("--dnn", action="store_true",
                     help="engage the DNN perspective-shift filter in every "
                          "solve (cfg.dnn_filter; bundled pretrained net)")
@@ -104,6 +110,8 @@ def main():
     cfg = ICETConfig()  # canonical 75x24, 7 iters (odometry profile)
     if args.dynamic:
         cfg = cfg.replace(remove_moving=True)
+    if args.range_sigma > 0.0:
+        cfg = cfg.replace(range_sigma=args.range_sigma)
     if args.dnn:
         cfg = cfg.replace(dnn_filter=True)
     # The reference's 0.3 m clamp assumes slow indoor motion

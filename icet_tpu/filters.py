@@ -49,7 +49,8 @@ def sample_voxel_points(
     n_samples: int,
     mode: str = "head",
     counts: jax.Array | None = None,
-) -> tuple[jax.Array, jax.Array]:
+    fill_tail: bool = True,
+) -> tuple[jax.Array, jax.Array | None]:
     """Fixed-size per-voxel point samples, dense: ``(V+1, S, 3)``.
 
     Sorts point indices by voxel id and slices S per voxel, replacing the
@@ -130,14 +131,21 @@ def sample_voxel_points(
              unique_indices=True)
     )
     samples = buf.reshape(v1, S, 3)
+    if not fill_tail:
+        # Lean hot path (the DNN odometry step): tails stay ZERO and no
+        # counts are derived from the buffer — the buffer read-back +
+        # rewrite + count reduction below measured 0.35 ms/call on the
+        # v5e (L6 - L5, tools/bench_dnn_opt.py).  Callers fill at USE
+        # time from counts they already hold (the voxel model's exact
+        # member counts clip to these samples' occupancy — identical
+        # membership; see _fill_sample_tails).
+        return samples, None
     # Written slots are recovered from the buffer itself: member points are
     # range-gated (r >= min_range and inside positive radial bounds; exact
     # origin points never pass membership), so a slot is written iff any
-    # coordinate is nonzero.  This replaces the dense per-voxel counts the
-    # old path needed (windowed one-hot + an overflow lax.cond that alone
-    # measured ~0.3 ms/call in the chained step) — head mode returns counts
-    # CLIPPED to S, which is all its consumers use (means clip anyway;
-    # min-points gates satisfy min_pts <= S).
+    # coordinate is nonzero.  Head mode returns counts CLIPPED to S, which
+    # is all its consumers use (means clip anyway; min-points gates
+    # satisfy min_pts <= S).
     row_ok = jnp.any(samples != 0.0, axis=-1)
     # Tail rows (count < S) repeat the voxel's FIRST point: a real point,
     # so the bias net's max-pool sees exactly the same feature set as the
@@ -149,24 +157,42 @@ def sample_voxel_points(
     return samples, jnp.sum(row_ok.astype(jnp.int32), axis=-1)
 
 
+def _fill_sample_tails(samples: jax.Array, counts: jax.Array) -> jax.Array:
+    """Repeat each voxel's FIRST sampled point into the zero tail rows
+    (``sample_voxel_points(fill_tail=False)`` output + the caller's exact
+    member counts — same membership, so ``min(counts, S)`` is exactly the
+    buffer occupancy).  Max-pool-neutral duplicates, as before."""
+    S = samples.shape[-2]
+    ok = (
+        jnp.arange(S, dtype=jnp.int32)[None, :]
+        < jnp.clip(counts, 1, S)[:, None]
+    )
+    return jnp.where(ok[..., None], samples, samples[:, :1, :])
+
+
 def model_voxel_samples(model: VoxelModel, scan1: jax.Array, cfg: ICETConfig):
     """Per-voxel point samples of the model's source scan — loop-invariant
     input to :func:`dnn_reject_mask` (hoist out of per-iteration loops).
 
-    Returns ``(samples, counts)`` with counts CLIPPED to
-    ``cfg.dnn_sample_pts`` (head-mode sampling recovers them from the
-    scatter buffer — the earlier windowed-one-hot counts + overflow
-    lax.cond measured ~0.3 ms/call of pure conditional overhead in the
-    chained odometry step)."""
+    Returns ``(samples, counts)``: ZERO-TAILED samples (tails filled at
+    use time, :func:`_fill_sample_tails`) and counts CLIPPED to
+    ``cfg.dnn_sample_pts`` — taken straight from the model's exact member
+    counts (identical membership to the sampling pass), so nothing is
+    read back from the scatter buffer (0.35 ms/call saved on the v5e)."""
     rtp = cart_to_spherical(scan1)
     vid = voxel_ids(rtp, cfg)
     member = membership(
         vid, rtp[..., 0], rtp[..., 0] >= cfg.min_range, model.bounds,
         cfg.n_voxels,
     )
-    return sample_voxel_points(
-        scan1, vid, member, cfg.n_voxels, cfg.dnn_sample_pts
+    samples, _ = sample_voxel_points(
+        scan1, vid, member, cfg.n_voxels, cfg.dnn_sample_pts,
+        fill_tail=False,
     )
+    counts = jnp.clip(
+        model.count.astype(jnp.int32), 0, cfg.dnn_sample_pts
+    )
+    return samples, counts
 
 
 class DnnFilterResult(NamedTuple):
@@ -193,46 +219,49 @@ def dnn_reject_mask(
 
     ``samples1``: optional precomputed ``model_voxel_samples`` output —
     scan 1 and the model are loop-invariant across the in-loop filter's
-    iterations, so its sort+gather pass hoists out of the scanned body.
+    iterations, so its sort+scatter pass hoists out of the scanned body.
+
+    The compared "ICET shift" is the EXACT per-voxel mean residual
+    ``mean2 - mean1`` (the solver's own correspondence residual, matching
+    the reference's ``it_shift`` from its solve state,
+    ICET_spherical.py:355-367) computed by one windowed-moments pass over
+    the aligned scan — NOT the mean of the S-point subsamples (a round-4
+    approximation): exact means are both more faithful and cheaper (the
+    min-points candidate gate also uses the exact counts, dropping the
+    old ``min_pts <= dnn_sample_pts`` restriction).  The subsamples feed
+    only the network input.
     """
-    # Head-mode sample counts are clipped at dnn_sample_pts; the min-points
-    # candidate gate below is exact only under this (canonical 25 <= 100).
-    assert cfg.min_pts <= cfg.dnn_sample_pts, (
-        "dnn filter needs min_pts <= dnn_sample_pts (clipped counts)"
-    )
+    from icet_tpu.ops.moments import finalize_moments_planes
+    from icet_tpu.solver import _fused_sums
+
     s1, n1 = (
         samples1 if samples1 is not None
         else model_voxel_samples(model, scan1, cfg)
     )
-    s2, n2 = model_voxel_samples(model, scan2_aligned, cfg)
+    s2, _ = model_voxel_samples(model, scan2_aligned, cfg)
 
-    def _real_mean(s, n):
-        # Mean over the REAL sampled rows only (tail rows repeat the first
-        # point when the voxel has fewer than S members — see
-        # sample_voxel_points — and would bias the shift estimate).
-        c = jnp.clip(n, 1, s.shape[-2])
-        ok = jnp.arange(s.shape[-2], dtype=jnp.int32)[None, :] < c[:, None]
-        return (
-            jnp.sum(jnp.where(ok[..., None], s, 0.0), axis=-2)
-            / c[:, None].astype(s.dtype)
-        )
-
-    mu1 = _real_mean(s1, n1)
-    mu2 = _real_mean(s2, n2)
-    icet_shift = mu2 - mu1
+    sums2, _ovf = _fused_sums(
+        scan2_aligned, jnp.zeros(6, scan2_aligned.dtype), model.bounds,
+        model.anchors, cfg,
+    )
+    count2, mean2, _cov2 = finalize_moments_planes(sums2, model.anchors)
+    icet_shift = mean2 - model.mean
+    n2 = jnp.clip(count2.astype(jnp.int32), 0, cfg.dnn_sample_pts)
 
     # Iterative refinement: shift sample 1 by the running estimate and
     # re-predict (reference ICET_spherical.py:324-336).  apply_bias_net
     # routes through the fused Pallas encoder on TPU (VMEM-resident
     # activations; the flax apply's HBM round-trips dominated the filter's
     # per-frame cost).
+    s1f = _fill_sample_tails(s1, n1)
+    s2f = _fill_sample_tails(s2, n2)
     shift = jnp.zeros_like(icet_shift)
     if refine_steps is None:
         refine_steps = cfg.dnn_refine_steps
     for _ in range(refine_steps):
         from icet_tpu.models.bias_net import apply_bias_net, pack_voxel_samples
 
-        inputs = pack_voxel_samples(s1 + shift[:, None, :], s2)
+        inputs = pack_voxel_samples(s1f + shift[:, None, :], s2f)
         shift = shift + apply_bias_net(bias_net, params, inputs)
 
     # Compare in the extended-axis-suppressed frame, rotated back to xyz
@@ -242,7 +271,13 @@ def dnn_reject_mask(
     P = model.lmask[:, :, None] * jnp.swapaxes(model.basis, -1, -2)
     proj = small_matmul(model.basis, P)  # U diag(l) U^T
     diff = jnp.sum(proj * (icet_shift - shift)[:, None, :], axis=-1)
-    candidates = model.valid & (n1 >= cfg.min_pts) & (n2 >= cfg.min_pts)
+    # Exact member counts on both sides (model.count / the windowed
+    # count2), same gate as the solver's correspondence test.
+    candidates = (
+        model.valid
+        & (model.count >= cfg.min_pts)
+        & (count2 >= cfg.min_pts)
+    )
     bad = candidates & jnp.any(jnp.abs(diff) > cfg.dnn_thresh, axis=-1)
     return DnnFilterResult(
         keep=~bad,
