@@ -315,6 +315,17 @@ PROFILES = {
         n_iters=7, min_range=2.0, convergence_tol=1e-4,
         convergence_stat_scale=1.0,
     ),
+    # Degeneracy-guarded odometry for tunnel/corridor/open-field regimes:
+    # the clip-fill suppression guard + a tightened condition cutoff make
+    # weakly-observed directions flag as unobservable (pred_stds inflate
+    # to ~1) instead of being pinned by grid artifacts with mm-scale
+    # claimed precision — Monte-Carlo-validated in
+    # tests/test_montecarlo.py (corridor cases) and neutral on rich
+    # scenes.  Base defaults stay at reference parity.
+    "odometry_guarded": ICETConfig(
+        n_iters=7, min_range=2.0, convergence_tol=1e-4,
+        convergence_stat_scale=1.0, clip_fill=0.6, condition_cutoff=1e4,
+    ),
     # Python-notebook configuration (fid=50) used by the bundled sample clouds
     # (python/ICET_demo.ipynb, grid at ICET_spherical.py:1206-1234)
     "notebook": ICETConfig(

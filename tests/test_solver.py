@@ -417,3 +417,49 @@ class TestStatisticalExit:
         # the outputs must still be finite and well-formed.
         assert np.isfinite(np.asarray(res.X)).all()
         assert np.isfinite(np.asarray(res.pred_stds)).all()
+
+
+class TestCovarianceExtensions:
+    """range_sigma / clip_fill solver knobs (round 5; full Monte-Carlo
+    validation in tests/test_montecarlo.py — these are the fast-tier
+    structural checks)."""
+
+    KW = dict(n_beams=48, n_azimuth=512)
+
+    def test_range_sigma_adds_psd_rank1_without_moving_x(self):
+        X_true = np.array([0.3, -0.1, 0.02, 0.0, 0.0, 0.01])
+        r0 = _register_synthetic(X_true, seed=11, **self.KW)
+        cfg_rs = SYN_CFG.replace(range_sigma=0.02)
+        r1 = _register_synthetic(X_true, seed=11, cfg=cfg_rs, **self.KW)
+        np.testing.assert_allclose(
+            np.asarray(r1.X), np.asarray(r0.X), atol=1e-6
+        )
+        dQ = np.asarray(r1.Q, np.float64) - np.asarray(r0.Q, np.float64)
+        w = np.linalg.eigvalsh(dQ)
+        # PSD rank-1 to f32 tolerance: one positive eigenvalue, the rest
+        # negligible against it.
+        assert w[-1] > 0.0, w
+        assert np.abs(w[:-1]).max() < 1e-4 * w[-1] + 1e-12, w
+        assert (
+            np.asarray(r1.pred_stds) >= np.asarray(r0.pred_stds) - 1e-7
+        ).all()
+
+    def test_clip_fill_only_prunes(self):
+        scan1, _ = scan_pair_with_ground_truth(np.zeros(6), seed=12, **self.KW)
+        m0 = prepare_reference_jit(jnp.asarray(scan1), SYN_CFG)
+        mg = prepare_reference_jit(
+            jnp.asarray(scan1), SYN_CFG.replace(clip_fill=0.6)
+        )
+        l0 = np.asarray(m0.lmask).astype(bool)
+        lg = np.asarray(mg.lmask).astype(bool)
+        assert (~lg | l0).all()  # guard can only REMOVE axes
+        assert lg.sum() < l0.sum()  # and does remove some on raycast scenes
+
+    def test_guarded_profile_registers(self):
+        X_true = np.array([0.2, 0.05, 0.0, 0.0, 0.0, 0.01])
+        cfg = PROFILES["odometry_guarded"].replace(
+            n_theta=48, n_phi=16, phi_min=np.pi / 3, phi_max=2 * np.pi / 3,
+            min_pts=20, min_range=1.0,
+        )
+        res = _register_synthetic(X_true, seed=13, cfg=cfg, **self.KW)
+        assert np.abs(np.asarray(res.X) - X_true).max() < 5e-3
