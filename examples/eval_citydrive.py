@@ -70,6 +70,11 @@ def main():
                          "~50x less host-link latency on recorded data; "
                          "ignores --chunk checkpoints (it does not need "
                          "them) and has no DNN variant yet")
+    ap.add_argument("--guarded", action="store_true",
+                    help="enable the degeneracy guard (clip_fill=0.6, "
+                         "condition_cutoff=1e4 — PROFILES['odometry_"
+                         "guarded']): validated neutral on rich scenes, "
+                         "honest in corridors")
     ap.add_argument("--range-sigma", type=float, default=0.0,
                     help="per-scan common-mode range error in metres "
                          "(ICETConfig.range_sigma): adds the calibration-"
@@ -112,6 +117,8 @@ def main():
         cfg = cfg.replace(remove_moving=True)
     if args.range_sigma > 0.0:
         cfg = cfg.replace(range_sigma=args.range_sigma)
+    if args.guarded:
+        cfg = cfg.replace(clip_fill=0.6, condition_cutoff=1e4)
     if args.dnn:
         cfg = cfg.replace(dnn_filter=True)
     # The reference's 0.3 m clamp assumes slow indoor motion

@@ -320,8 +320,10 @@ PROFILES = {
     # weakly-observed directions flag as unobservable (pred_stds inflate
     # to ~1) instead of being pinned by grid artifacts with mm-scale
     # claimed precision — Monte-Carlo-validated in
-    # tests/test_montecarlo.py (corridor cases) and neutral on rich
-    # scenes.  Base defaults stay at reference parity.
+    # tests/test_montecarlo.py (corridor cases); solve-level neutral on
+    # the clean fixture, but costs a few cm on rich dynamic drives
+    # (flagship: odometry ATE 33.4 vs 28.7 plain — RESULTS.md), which is
+    # why it is a PROFILE and the base defaults stay at reference parity.
     "odometry_guarded": ICETConfig(
         n_iters=7, min_range=2.0, convergence_tol=1e-4,
         convergence_stat_scale=1.0, clip_fill=0.6, condition_cutoff=1e4,
