@@ -481,7 +481,8 @@ def orchestrate() -> int:
         "error": "tpu_unavailable",
         "detail": "; ".join(notes),
         "last_known_good": {
-            "odometry_frame_ms": 1.17, "source": "round-2 builder measurement"
+            "odometry_frame_ms": 0.8817,
+            "source": "round-4 driver capture (BENCH_r04.json)",
         },
     }))
     return 0
