@@ -108,6 +108,41 @@ def sample_voxel_points(
     S = n_samples
     v1 = n_voxels + 1
     idx = jnp.arange(n, dtype=jnp.int32)
+    if not fill_tail:
+        # Lean hot path: the buffer feeds ONLY the bf16 bias network (the
+        # filter's means/counts are exact solver moments since round 5),
+        # so coordinates are packed to bf16 pairs BEFORE the sort — the
+        # sort carries 2 u32 words instead of 3 f32 and the 65k
+        # unique-index scatter (the sampling pass's dominant cost, 0.70
+        # ms of 1.05 on the v5e) writes rows 2/3 the size.  bf16 is what
+        # the encoder sees anyway; the means that must stay exact no
+        # longer come from this buffer.
+        xb, yb, zb = (
+            jax.lax.bitcast_convert_type(
+                points[:, j].astype(jnp.bfloat16), jnp.uint16
+            ).astype(jnp.uint32)
+            for j in range(3)
+        )
+        w1 = (xb << 16) | yb
+        w2 = zb << 16
+        vs, w1s, w2s = jax.lax.sort(
+            (vidm, w1, w2), num_keys=1, is_stable=True
+        )
+        seg_start = jnp.where(
+            jnp.concatenate([jnp.ones((1,), bool), vs[1:] != vs[:-1]]),
+            idx, 0,
+        )
+        start = jax.lax.associative_scan(jnp.maximum, seg_start)
+        rank = idx - start
+        write = (vs < n_voxels) & (rank < S)
+        tgt = jnp.where(write, vs * S + rank, v1 * S)
+        buf = (
+            jnp.zeros((v1 * S, 2), jnp.uint32)
+            .at[tgt]
+            .set(jnp.stack([w1s, w2s], axis=-1), mode="drop",
+                 unique_indices=True)
+        )
+        return buf.reshape(v1, S, 2), None
     # One stable multi-operand sort carries the coordinates alongside the
     # voxel-id keys (stable ordering keeps scan order within each voxel —
     # head semantics) so no later gather or permutation scatter is needed.
@@ -131,15 +166,6 @@ def sample_voxel_points(
              unique_indices=True)
     )
     samples = buf.reshape(v1, S, 3)
-    if not fill_tail:
-        # Lean hot path (the DNN odometry step): tails stay ZERO and no
-        # counts are derived from the buffer — the buffer read-back +
-        # rewrite + count reduction below measured 0.35 ms/call on the
-        # v5e (L6 - L5, tools/bench_dnn_opt.py).  Callers fill at USE
-        # time from counts they already hold (the voxel model's exact
-        # member counts clip to these samples' occupancy — identical
-        # membership; see _fill_sample_tails).
-        return samples, None
     # Written slots are recovered from the buffer itself: member points are
     # range-gated (r >= min_range and inside positive radial bounds; exact
     # origin points never pass membership), so a slot is written iff any
@@ -157,11 +183,21 @@ def sample_voxel_points(
     return samples, jnp.sum(row_ok.astype(jnp.int32), axis=-1)
 
 
-def _fill_sample_tails(samples: jax.Array, counts: jax.Array) -> jax.Array:
-    """Repeat each voxel's FIRST sampled point into the zero tail rows
-    (``sample_voxel_points(fill_tail=False)`` output + the caller's exact
-    member counts — same membership, so ``min(counts, S)`` is exactly the
-    buffer occupancy).  Max-pool-neutral duplicates, as before."""
+def _unpack_fill_samples(packed: jax.Array, counts: jax.Array) -> jax.Array:
+    """(V+1, S, 2) u32 bf16-packed lean samples -> (V+1, S, 3) f32 with
+    each voxel's FIRST point repeated into the zero tail rows.
+
+    ``counts`` are the caller's exact member counts (same membership as
+    the sampling pass, so ``min(counts, S)`` is exactly the buffer
+    occupancy).  Tail duplicates are max-pool neutral, as before; bf16
+    rounding is what the encoder applies anyway."""
+    hi = jax.lax.bitcast_convert_type(
+        (packed >> 16).astype(jnp.uint16), jnp.bfloat16
+    ).astype(jnp.float32)
+    lo = jax.lax.bitcast_convert_type(
+        (packed & 0xFFFF).astype(jnp.uint16), jnp.bfloat16
+    ).astype(jnp.float32)
+    samples = jnp.stack([hi[..., 0], lo[..., 0], hi[..., 1]], axis=-1)
     S = samples.shape[-2]
     ok = (
         jnp.arange(S, dtype=jnp.int32)[None, :]
@@ -174,8 +210,9 @@ def model_voxel_samples(model: VoxelModel, scan1: jax.Array, cfg: ICETConfig):
     """Per-voxel point samples of the model's source scan — loop-invariant
     input to :func:`dnn_reject_mask` (hoist out of per-iteration loops).
 
-    Returns ``(samples, counts)``: ZERO-TAILED samples (tails filled at
-    use time, :func:`_fill_sample_tails`) and counts CLIPPED to
+    Returns ``(packed, counts)``: ZERO-TAILED bf16-packed samples
+    ((V+1, S, 2) u32 — unpacked + tail-filled at use time,
+    :func:`_unpack_fill_samples`) and counts CLIPPED to
     ``cfg.dnn_sample_pts`` — taken straight from the model's exact member
     counts (identical membership to the sampling pass), so nothing is
     read back from the scatter buffer (0.35 ms/call saved on the v5e)."""
@@ -253,8 +290,8 @@ def dnn_reject_mask(
     # routes through the fused Pallas encoder on TPU (VMEM-resident
     # activations; the flax apply's HBM round-trips dominated the filter's
     # per-frame cost).
-    s1f = _fill_sample_tails(s1, n1)
-    s2f = _fill_sample_tails(s2, n2)
+    s1f = _unpack_fill_samples(s1, n1)
+    s2f = _unpack_fill_samples(s2, n2)
     shift = jnp.zeros_like(icet_shift)
     if refine_steps is None:
         refine_steps = cfg.dnn_refine_steps

@@ -125,6 +125,27 @@ def test_sample_voxel_points_dense():
         assert tuple(p) in vset
 
 
+def test_lean_packed_samples_match_full_path_to_bf16():
+    """The lean (fill_tail=False) path packs coordinates to bf16 pairs
+    before the sort+scatter (the buffer feeds only the bf16 encoder);
+    unpack+fill must reproduce the full f32 path to bf16 rounding."""
+    from icet_tpu.filters import _unpack_fill_samples
+
+    rng = np.random.default_rng(2)
+    pts = jnp.asarray((rng.normal(size=(300, 3)) * 20).astype(np.float32))
+    vid = jnp.asarray(rng.integers(0, 6, 300).astype(np.int32))
+    member = jnp.asarray(rng.random(300) > 0.1)
+    full, counts = sample_voxel_points(pts, vid, member, 6, 8)
+    packed, none = sample_voxel_points(
+        pts, vid, member, 6, 8, fill_tail=False
+    )
+    assert none is None and packed.dtype == jnp.uint32
+    assert packed.shape == (7, 8, 2)
+    lean = _unpack_fill_samples(packed, counts)
+    ref_bf16 = np.asarray(full.astype(jnp.bfloat16).astype(jnp.float32))
+    np.testing.assert_array_equal(np.asarray(lean), ref_bf16)
+
+
 @pytest.mark.slow
 def test_dnn_filter_end_to_end(trained):
     model, params = trained

@@ -64,7 +64,9 @@ def main():
 
     import bench
     from icet_tpu import ICETConfig
-    from icet_tpu.filters import model_voxel_samples, pretrained_dnn
+    from icet_tpu.filters import (
+        model_voxel_samples, pretrained_dnn, sample_voxel_points,
+    )
     from icet_tpu.ops.clustering import membership
     from icet_tpu.ops.geometry import cart_to_spherical
     from icet_tpu.ops.grid import voxel_ids
@@ -162,7 +164,7 @@ def main():
 
     def l6(s):
         smp, _c = model_voxel_samples(model, s, cfg)
-        return jnp.mean(smp)
+        return jnp.sum(smp.astype(jnp.float32)) * 1e-12
 
     def raw_scatter(s):
         # isolated: one 65k-row (n,3) unique .set scatter
@@ -185,6 +187,26 @@ def main():
         )
         return jnp.mean(buf)
 
+    def raw_scatter2w(s):
+        # (n, 2) u32 scatter — the round-5 bf16-packed lean path's write
+        tgt = (jnp.arange(n, dtype=jnp.int32) * 7919) % (v1 * S)
+        tgt = tgt + (s[:, 0] > 1e9).astype(jnp.int32)
+        w = jax.lax.bitcast_convert_type(s[:, :2], jnp.uint32)
+        buf = (
+            jnp.zeros((v1 * S, 2), jnp.uint32)
+            .at[tgt]
+            .set(w, mode="drop", unique_indices=True)
+        )
+        return jnp.sum(buf.astype(jnp.float32)) * 1e-12
+
+    def l7(s):
+        # round-5 lean packed path end to end
+        vidm, m = prepass(s)
+        smp, _ = sample_voxel_points(
+            s, vidm, m, V, S, fill_tail=False
+        )
+        return jnp.sum(smp.astype(jnp.float32)) * 1e-12
+
     for name, f in (
         ("L0 prepass (c2s+vid+member)", l0),
         ("L1  + windowed counts", l1),
@@ -193,8 +215,10 @@ def main():
         ("L4  + rank cummax", l4),
         ("L5  + one (n,3) scatter=NEW", l5),
         ("L6 current model_voxel_samples", l6),
+        ("L7 lean bf16-packed path (r5)", l7),
         ("R1 raw 65k (n,3) .set scatter", raw_scatter),
         ("R2 raw 65k (n,) .set scatter", raw_scatter1d),
+        ("R3 raw 65k (n,2) u32 scatter", raw_scatter2w),
     ):
         print(f"{name:34s}{slope_ms(chained(f), (scan,)):8.3f} ms", flush=True)
 
