@@ -264,9 +264,16 @@ class KeyframeConfig:
     #: itself, scale-free where the distance trigger is not
     stds_growth: float = 2.5
     #: ("auto") spawn when the final iteration's windowed-moments overflow
-    #: exceeds this many points (spill capacity is 8192; crossing it
-    #: silently demotes every iteration to the 2x segsum fallback)
-    ovf_spawn: int = 4096
+    #: exceeds this many points — i.e. as soon as keyframe-baseline
+    #: parallax pushes real work onto the bounded spill path (capacity
+    #: 8192; crossing THAT silently demotes every iteration to the 2x
+    #: segsum fallback).  Chip-measured on the bench drive
+    #: (tools/bench_kf_spawnperf.py): 512 cuts keyframe_frame_ms
+    #: 1.94 -> 1.72-1.81 vs the distance-only policy's 1.96, with a
+    #: plateau below it (128/32 within noise).  Only nonzero on the TPU
+    #: windowed path — CPU runs never trigger it (their spill diag is 0),
+    #: so CPU trajectories are unchanged.
+    ovf_spawn: int = 512
     #: spawn a new keyframe when the translation from the current one
     #: exceeds this (metres)
     spawn_distance: float = 2.0

@@ -41,6 +41,14 @@ from icet_tpu.solver import (
 _HI = jax.lax.Precision.HIGHEST
 
 
+def _moment_method_is_fused(cfg: ICETConfig) -> bool:
+    """Mirror of solver._moment_method's fused/segsum choice (the filter's
+    moments pass follows the same backend policy as the solve's)."""
+    if cfg.moment_method == "auto":
+        return jax.default_backend() == "tpu" and cfg.radial_mode != "fixed"
+    return cfg.moment_method == "fused" and cfg.radial_mode != "fixed"
+
+
 def sample_voxel_points(
     points: jax.Array,
     vid: jax.Array,
@@ -269,7 +277,6 @@ def dnn_reject_mask(
     only the network input.
     """
     from icet_tpu.ops.moments import finalize_moments_planes
-    from icet_tpu.solver import _fused_sums
 
     s1, n1 = (
         samples1 if samples1 is not None
@@ -277,10 +284,36 @@ def dnn_reject_mask(
     )
     s2, _ = model_voxel_samples(model, scan2_aligned, cfg)
 
-    sums2, _ovf = _fused_sums(
-        scan2_aligned, jnp.zeros(6, scan2_aligned.dtype), model.bounds,
-        model.anchors, cfg,
-    )
+    zero6 = jnp.zeros(6, scan2_aligned.dtype)
+    if _moment_method_is_fused(cfg):
+        # Windowed sums + the bounded spill pass UNCONDITIONALLY — exact
+        # whenever off-window points fit the spill capacity (8192; covers
+        # every measured regime incl. keyframe-baseline parallax), and
+        # deliberately WITHOUT the solver's overflow lax.cond: each XLA
+        # conditional in the step costs ~a scheduling sync even untaken
+        # (CLAUDE.md), and the round-5 chip trace showed the filter's
+        # cond-bearing moments pass costing more than the sampling it
+        # replaced.  Beyond-capacity overflow (heavily shuffled clouds)
+        # degrades only this mask's means — the SOLVE keeps its own exact
+        # fallback.
+        from icet_tpu.ops.windowed_moments import (
+            windowed_moment_sums,
+            windowed_spill_sums,
+        )
+
+        sums2, _ovf = windowed_moment_sums(
+            scan2_aligned, zero6, model.bounds, model.anchors, cfg
+        )
+        sums2 = sums2 + windowed_spill_sums(
+            scan2_aligned, zero6, model.bounds, model.anchors, cfg,
+            spill_capacity=8192,
+        )
+    else:
+        from icet_tpu.solver import _jnp_sums
+
+        sums2 = _jnp_sums(
+            scan2_aligned, zero6, model.bounds, model.anchors, cfg
+        )
     count2, mean2, _cov2 = finalize_moments_planes(sums2, model.anchors)
     icet_shift = mean2 - model.mean
     n2 = jnp.clip(count2.astype(jnp.int32), 0, cfg.dnn_sample_pts)

@@ -85,12 +85,19 @@ def main():
 
     print(f"A model_voxel_samples        {slope_ms(make_sample, (scan2,)):8.3f} ms")
 
-    # --- B: one bias-net forward on packed samples ----------------------
-    s1, _n1 = jax.block_until_ready(
+    # --- B: one bias-net forward on (unpacked) samples -------------------
+    from icet_tpu.filters import _unpack_fill_samples
+
+    ps1, n1 = jax.block_until_ready(
         jax.jit(lambda s: model_voxel_samples(model, s, cfg))(scan1)
     )
-    s2, _n2 = jax.block_until_ready(
-        jax.jit(lambda s: model_voxel_samples(model, s, cfg))(scan2)
+    s1 = jax.block_until_ready(
+        jax.jit(_unpack_fill_samples)(ps1, n1)
+    )
+    s2 = jax.block_until_ready(
+        jax.jit(
+            lambda s: _unpack_fill_samples(*model_voxel_samples(model, s, cfg))
+        )(scan2)
     )
 
     def make_forward(apply_fn):
@@ -124,7 +131,7 @@ def main():
         def g(scan):
             def body(s, _):
                 filt = dnn_reject_mask(net, params, model, scan1, s, cfg,
-                                       samples1=(s1, _n1))
+                                       samples1=(ps1, n1))
                 return s + jnp.mean(filt.dnn_shift) * 1e-9, None
 
             s, _ = jax.lax.scan(body, scan, None, length=chain)

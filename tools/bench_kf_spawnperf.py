@@ -123,21 +123,18 @@ def main():
         return out
 
     configs = [
-        ("dist3.0 ovf-off (bench r4 regime)",
-         KeyframeConfig(spawn="fixed", spawn_distance=3.0, spawn_angle=0.3,
-                        delta_clamp=2.5)),
-        ("dist3.0 auto ovf4096 (default)",
-         KeyframeConfig(spawn_distance=3.0, spawn_angle=0.3,
-                        delta_clamp=2.5)),
         ("dist3.0 auto ovf512",
          KeyframeConfig(spawn_distance=3.0, spawn_angle=0.3,
                         delta_clamp=2.5, ovf_spawn=512)),
-        ("dist2.0 fixed",
-         KeyframeConfig(spawn="fixed", spawn_distance=2.0, spawn_angle=0.3,
-                        delta_clamp=2.5)),
-        ("dist2.5 fixed",
-         KeyframeConfig(spawn="fixed", spawn_distance=2.5, spawn_angle=0.3,
-                        delta_clamp=2.5)),
+        ("dist3.0 auto ovf128",
+         KeyframeConfig(spawn_distance=3.0, spawn_angle=0.3,
+                        delta_clamp=2.5, ovf_spawn=128)),
+        ("dist3.0 auto ovf32",
+         KeyframeConfig(spawn_distance=3.0, spawn_angle=0.3,
+                        delta_clamp=2.5, ovf_spawn=32)),
+        ("dist2.5 auto ovf512",
+         KeyframeConfig(spawn_distance=2.5, spawn_angle=0.3,
+                        delta_clamp=2.5, ovf_spawn=512)),
     ]
     for name, kf_cfg in configs:
         ms = slope_ms(make_kf(kf_cfg), (drive, x0), consume)
