@@ -295,14 +295,23 @@ def main(headline_only: bool = False) -> None:
     reg_ms = _slope_ms(make_reg, (c1, c2, x0), np.asarray)
 
     # --- batched registration throughput (the mapping / Monte-Carlo
-    # regime the dp sharding layer exists for): B independent pairs vmapped
-    # through register at the reference's exact fixed-runlen-7 semantics,
-    # voxel models amortised like register_only.  Chained honestly: the
-    # batch of solutions feeds the next chain step's initial guesses (true
-    # data dependency; fixed runlen keeps per-step work X-independent).
-    # Throughput and single-solve latency are different regimes — batching
-    # amortises per-dispatch scheduling and fills the chip's parallelism,
-    # at higher HBM pressure from B live (V+1) table sets.
+    # regime): B independent pairs vmapped through register at the
+    # reference's exact fixed-runlen-7 semantics, voxel models amortised
+    # like register_only.  Chained honestly: the batch of solutions feeds
+    # the next chain step's initial guesses (true data dependency; fixed
+    # runlen keeps per-step work X-independent).
+    #
+    # MEASURED FINDING (2026-08-20, v5e): single-chip vmap batching
+    # DEOPTIMIZES this solver ~10x — the windowed one-hot einsums lose
+    # their compare-regenerating VPU fusion under the batch dim (the
+    # one-hots materialize to HBM; 57 pairs/s at B=16 vs 583/s chaining
+    # solves serially), and the segsum path's scatters serialize anyway
+    # (89/s).  The solver already saturates the chip per solve, so the
+    # honest single-chip throughput ceiling is the serial chain
+    # (1000 / register_only_fixed7_ms, reported below as
+    # throughput_pairs_per_s_serial); scale-out is the dp MESH across
+    # chips (parallel/sharding.py), not vmap on one.  The vmap number is
+    # still published as the dp-batch-per-device cost model.
     BATCH = 16
     pairs1 = drive[:BATCH]
     pairs2 = jnp.roll(drive, -1, axis=0)[:BATCH]
@@ -390,6 +399,10 @@ def main(headline_only: bool = False) -> None:
         "register_only_fixed7_ms": round(reg_ms, 4),
         "batched_pairs_per_s": round(batched_pairs_per_s, 1),
         "batched_batch": BATCH,
+        # Serial chaining beats single-chip vmap batching ~10x here (the
+        # windowed fusion dematerializes under a batch dim — see the
+        # batched section comment); this is the honest 1-chip ceiling.
+        "throughput_pairs_per_s_serial": round(1000.0 / reg_ms, 1),
         "dnn_frame_ms": None if dnn_ms is None else round(dnn_ms, 4),
     }
     print(json.dumps(out))
